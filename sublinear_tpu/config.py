@@ -1,0 +1,46 @@
+"""Backend/dtype configuration.
+
+The framework is TPU-first: float32 compute everywhere by default (TPU has no
+hardware f64).  On CPU (tests/oracles) float64 may be requested per-call via
+``SolverOptions.dtype`` once ``jax.config.update('jax_enable_x64', True)`` has
+been set by the host program.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+
+@functools.lru_cache(maxsize=None)
+def backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+def default_dtype():
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
+def resolve_dtype(dtype):
+    import jax.numpy as jnp
+
+    if dtype is None:
+        return default_dtype()
+    return jnp.dtype(dtype)
+
+
+# Row-padding granularity: float32 sublane tiling is (8, 128); we keep the
+# lane (last) dimension on the row axis in slot-major ELL, so pad rows to 128.
+LANE = 128
+SUBLANE = 8
+
+# Below this size a dense MXU matvec beats any sparse path on TPU
+# (an n x n f32 matmul-vector at n=2048 is ~16MB of HBM traffic, microseconds).
+DENSE_THRESHOLD = int(os.environ.get("SLT_DENSE_THRESHOLD", "2048"))
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

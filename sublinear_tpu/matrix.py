@@ -1,0 +1,168 @@
+"""Public host-side Matrix wrapper.
+
+One class replaces the reference's triplicated matrix stacks (Rust
+SparseMatrix /root/reference/src/matrix/mod.rs:123-373, TS
+MatrixOperations /root/reference/src/core/matrix.ts, JS FastCSRMatrix
+/root/reference/js/fast-solver.js): host CSR for construction/analysis plus
+lazily-built device operators (ELL or dense, see formats/ell.py) that the
+jitted solvers consume.  The device-operator choice is a static decision made
+host-side so every jitted program sees fixed shapes.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .config import DENSE_THRESHOLD
+from .errors import DimensionMismatchError, InvalidMatrixError
+from .formats.csr import CSR
+from .formats import ell as _ell
+
+
+class Matrix:
+    """Square-or-rectangular sparse/dense matrix with device-operator cache."""
+
+    def __init__(self, csr: CSR, prefer: Optional[str] = None):
+        self.csr = csr
+        self._prefer = prefer  # None | 'dense' | 'ell'
+        self._ops: dict = {}
+        self._transpose_csr: Optional[CSR] = None
+
+    # ------------------------------------------------------------ constructors
+    @classmethod
+    def from_coo(cls, rows, cols, vals, shape, **kw) -> "Matrix":
+        return cls(CSR.from_coo(rows, cols, vals, shape), **kw)
+
+    @classmethod
+    def from_dense(cls, data, **kw) -> "Matrix":
+        return cls(CSR.from_dense(data), **kw)
+
+    @classmethod
+    def from_csr_arrays(cls, indptr, indices, data, shape, **kw) -> "Matrix":
+        return cls(CSR(indptr, indices, data, shape), **kw)
+
+    @classmethod
+    def from_dict(cls, d: dict, **kw) -> "Matrix":
+        """Parse the reference's JSON matrix format
+        (/root/reference/src/core/types.ts:6-23): COO triplets
+        {rows, cols, values, rowIndices, colIndices, format:'coo'} or dense
+        {rows, cols, data, format:'dense'}."""
+        if not isinstance(d, dict):
+            raise InvalidMatrixError("matrix must be an object")
+        fmt = d.get("format", "dense" if "data" in d else "coo")
+        rows, cols = d.get("rows"), d.get("cols")
+        if fmt == "dense":
+            data = np.asarray(d["data"], dtype=np.float64)
+            if rows is not None and data.shape != (rows, cols):
+                raise DimensionMismatchError(
+                    f"dense data shape {data.shape} != declared ({rows}, {cols})"
+                )
+            return cls.from_dense(data, **kw)
+        if fmt in ("coo", "csr", "csc"):
+            if rows is None or cols is None:
+                raise InvalidMatrixError("sparse matrix requires rows/cols fields")
+            ri = d.get("rowIndices", d.get("row_indices"))
+            ci = d.get("colIndices", d.get("col_indices"))
+            vals = d.get("values")
+            if ri is None or ci is None or vals is None:
+                raise InvalidMatrixError("sparse matrix requires values/rowIndices/colIndices")
+            return cls.from_coo(ri, ci, vals, (rows, cols), **kw)
+        raise InvalidMatrixError(f"unknown matrix format: {fmt}")
+
+    @classmethod
+    def identity(cls, n: int, **kw) -> "Matrix":
+        return cls(CSR.identity(n), **kw)
+
+    @classmethod
+    def diagonal(cls, d, **kw) -> "Matrix":
+        return cls(CSR.diagonal(d), **kw)
+
+    # ------------------------------------------------------------ properties
+    @property
+    def shape(self):
+        return self.csr.shape
+
+    @property
+    def nnz(self) -> int:
+        return self.csr.nnz
+
+    @property
+    def density(self) -> float:
+        n, m = self.shape
+        return self.nnz / max(n * m, 1)
+
+    def is_square(self) -> bool:
+        return self.shape[0] == self.shape[1]
+
+    # ------------------------------------------------------------ device ops
+    def _use_dense(self) -> bool:
+        if self._prefer == "dense":
+            return True
+        if self._prefer == "ell":
+            return False
+        n, m = self.shape
+        if max(n, m) <= DENSE_THRESHOLD:
+            return True
+        # moderately sized but dense enough that ELL would be dense anyway
+        return max(n, m) <= 4 * DENSE_THRESHOLD and self.density > 0.25
+
+    def op(self, dtype=None, transpose: bool = False):
+        """Device operator (cached per (dtype, transpose, kind))."""
+        import jax.numpy as jnp
+
+        from .config import resolve_dtype
+
+        dt = resolve_dtype(dtype)
+        kind = "dense" if self._use_dense() else "ell"
+        key = (str(dt), bool(transpose), kind)
+        if key not in self._ops:
+            csr = self.T_csr() if transpose else self.csr
+            if kind == "dense":
+                self._ops[key] = _ell.dense_from_csr(csr, dt)
+            else:
+                self._ops[key] = _ell.ell_from_csr(csr, dt)
+        return self._ops[key]
+
+    def T_csr(self) -> CSR:
+        if self._transpose_csr is None:
+            self._transpose_csr = self.csr.transpose()
+        return self._transpose_csr
+
+    def pad_vector(self, v, dtype=None, transpose: bool = False):
+        """Pad a row-space vector (e.g. the RHS b) to the operator's padded
+        row dimension.  With ``transpose=True`` pads to the transpose
+        operator's row space (i.e. this matrix's column space)."""
+        op = self.op(dtype, transpose=transpose)
+        n = self.shape[1] if transpose else self.shape[0]
+        v = np.asarray(v, dtype=np.float64).reshape(-1)
+        if v.size != n:
+            raise DimensionMismatchError(f"vector length {v.size} != matrix dim {n}")
+        return _ell.pad_vector(v, op.n_pad, op.dtype)
+
+    # ------------------------------------------------------------ host ops
+    def matvec(self, x) -> np.ndarray:
+        return self.csr.matvec(x)
+
+    def to_dense(self) -> np.ndarray:
+        return self.csr.to_dense()
+
+    def to_dict(self, fmt: str = "coo") -> dict:
+        n, m = self.shape
+        if fmt == "dense":
+            return {"rows": n, "cols": m, "data": self.to_dense().tolist(), "format": "dense"}
+        r, c, v = self.csr.to_coo()
+        return {
+            "rows": n,
+            "cols": m,
+            "values": v.tolist(),
+            "rowIndices": r.tolist(),
+            "colIndices": c.tolist(),
+            "format": "coo",
+        }
+
+    def transpose(self) -> "Matrix":
+        return Matrix(self.T_csr(), prefer=self._prefer)
+
+    def diagonal_vector(self) -> np.ndarray:
+        return self.csr.diagonal_vector()

@@ -1,0 +1,72 @@
+"""Truncated Neumann-series solver.
+
+Semantics follow the Rust canonical implementation
+(/root/reference/src/solver/neumann.rs:252-299): with A = D + R_off, the
+iteration matrix is M = I - D^-1 A and
+
+    x = sum_k M^k D^-1 b,   term_{k+1} = -D^-1 R_off term_k.
+
+(The TS port at src/core/solver.ts:117-258 drops the minus sign; we follow the
+mathematically correct Rust form.)
+
+TPU re-design: the entire series accumulates on-device in one
+``lax.while_loop``; warm restart (``update_rhs``/initial_guess, reference
+neumann.rs:436-462) is expressed by running the series on the residual
+b - A x0 and adding x0.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..matrix import Matrix
+from ..types import SolverOptions, SolverResult
+from . import base
+
+
+@functools.partial(jax.jit, static_argnames=("check_every",))
+def _neumann_run(op, b, x0, threshold, max_iters, check_every):
+    inv_d = op.inv_diag
+    r0 = b - op.matvec(x0)
+    term0 = inv_d * r0
+
+    def step(state):
+        x, term = state
+        term = -inv_d * op.offdiag_matvec(term)
+        return x + term, term
+
+    def residual_of(state):
+        x, _ = state
+        return jnp.linalg.norm(op.matvec(x) - b)
+
+    state0 = (x0 + term0, term0)
+    (state, k, res) = base.while_iterate(
+        base.repeat_steps(step, check_every), residual_of, state0, threshold, max_iters, check_every
+    )
+    x, _ = state
+    return x, k, res
+
+
+def solve_neumann(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:
+    op = matrix.op(options.dtype)
+    b_pad = matrix.pad_vector(b, options.dtype)
+    if options.x0 is not None:
+        x0 = matrix.pad_vector(options.x0, options.dtype)
+    else:
+        x0 = jnp.zeros_like(b_pad)
+    threshold = base.threshold_for(b, options)
+
+    with base.SolveTimer() as t:
+        x, k, res = _neumann_run(
+            op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every
+        )
+        jax.block_until_ready(x)
+    result = base.finalize(
+        matrix, x, k, res, "neumann", options, t.ms,
+        matvec_count=int(np.ceil(int(jax.device_get(k)) * (1 + 1 / max(options.check_every, 1)))),
+    )
+    return base.check_outcome(result, threshold, options, raise_on_fail)

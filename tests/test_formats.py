@@ -1,0 +1,119 @@
+"""Format layer: CSR construction, ELL packing, device matvec vs NumPy oracle.
+
+Mirrors the reference's matrix unit tests
+(/root/reference/src/matrix/mod.rs:574-628, sparse.rs:906+): construction,
+duplicate handling, transpose, diagonal extraction, matvec parity.
+"""
+import numpy as np
+import pytest
+
+import sublinear_tpu as slt
+from sublinear_tpu.formats.csr import CSR
+from sublinear_tpu.formats import ell as ell_mod
+
+
+def test_csr_from_coo_and_dense_roundtrip():
+    dense = np.array([[4.0, -1.0, 0.0], [0.0, 3.0, -2.0], [-1.0, 0.0, 5.0]])
+    csr = CSR.from_dense(dense)
+    assert csr.nnz == 6
+    np.testing.assert_allclose(csr.to_dense(), dense)
+    m = slt.Matrix.from_dense(dense)
+    np.testing.assert_allclose(m.diagonal_vector(), [4.0, 3.0, 5.0])
+
+
+def test_coo_duplicates_are_summed():
+    csr = CSR.from_coo([0, 0, 1], [1, 1, 0], [2.0, 3.0, 1.0], (2, 2))
+    assert csr.nnz == 2
+    np.testing.assert_allclose(csr.to_dense(), [[0.0, 5.0], [1.0, 0.0]])
+
+
+def test_csr_matvec_matches_dense():
+    rng = np.random.default_rng(0)
+    dense = rng.normal(size=(17, 13)) * (rng.random((17, 13)) < 0.3)
+    csr = CSR.from_dense(dense)
+    x = rng.normal(size=13)
+    np.testing.assert_allclose(csr.matvec(x), dense @ x, rtol=1e-12)
+
+
+def test_transpose():
+    rng = np.random.default_rng(1)
+    dense = rng.normal(size=(9, 11)) * (rng.random((9, 11)) < 0.4)
+    csr = CSR.from_dense(dense)
+    np.testing.assert_allclose(csr.transpose().to_dense(), dense.T)
+
+
+@pytest.mark.parametrize("n,density", [(50, 0.2), (200, 0.02), (64, 0.9)])
+def test_ell_matvec_matches_oracle(n, density):
+    A = slt.generate("random-sparse", n, seed=3, density=density)
+    x = slt.rhs(n, seed=5)
+    oracle = A.to_dense() @ x
+
+    op = ell_mod.ell_from_csr(A.csr)
+    x_pad = ell_mod.pad_vector(x, op.m_pad, op.dtype)
+    y = np.asarray(op.matvec(x_pad))[:n]
+    np.testing.assert_allclose(y, oracle, rtol=2e-5, atol=1e-4)
+
+
+def test_ell_hub_rows_go_to_tail():
+    # one hub row with 80 nnz, everyone else 2 — slot cap must stay small
+    n = 100
+    rows = [0] * 80 + list(range(1, n))
+    cols = list(range(1, 81)) + [0] * (n - 1)
+    vals = [0.1] * 80 + [0.2] * (n - 1)
+    d = list(range(n))
+    A = slt.Matrix.from_coo(rows + d, cols + d, vals + [10.0] * n, (n, n))
+    op = ell_mod.ell_from_csr(A.csr)
+    assert op.slot_count < 40
+    assert op.tail_nnz > 0
+    x = np.ones(n)
+    x_pad = ell_mod.pad_vector(x, op.m_pad, op.dtype)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x_pad))[:n], A.to_dense() @ x, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_dense_operator_matches():
+    A = slt.generate("diagonally-dominant", 30, seed=2)
+    x = slt.rhs(30, seed=1)
+    op = ell_mod.dense_from_csr(A.csr)
+    x_pad = ell_mod.pad_vector(x, op.m_pad, op.dtype)
+    np.testing.assert_allclose(
+        np.asarray(op.matvec(x_pad))[:30], A.to_dense() @ x, rtol=2e-5, atol=1e-4
+    )
+
+
+def test_matmat_batched_rhs():
+    A = slt.generate("random-sparse", 40, seed=9, density=0.15)
+    X = np.random.default_rng(4).normal(size=(40, 7))
+    op = ell_mod.ell_from_csr(A.csr)
+    X_pad = np.zeros((op.m_pad, 7))
+    X_pad[:40] = X
+    import jax.numpy as jnp
+
+    Y = np.asarray(op.matmat(jnp.asarray(X_pad, op.dtype)))[:40]
+    np.testing.assert_allclose(Y, A.to_dense() @ X, rtol=2e-5, atol=1e-4)
+
+
+def test_from_dict_reference_formats():
+    d_coo = {
+        "rows": 2,
+        "cols": 2,
+        "values": [4.0, 1.0, 3.0],
+        "rowIndices": [0, 0, 1],
+        "colIndices": [0, 1, 1],
+        "format": "coo",
+    }
+    m = slt.Matrix.from_dict(d_coo)
+    np.testing.assert_allclose(m.to_dense(), [[4.0, 1.0], [0.0, 3.0]])
+    d_dense = {"rows": 2, "cols": 2, "data": [[4.0, 1.0], [0.0, 3.0]], "format": "dense"}
+    m2 = slt.Matrix.from_dict(d_dense)
+    np.testing.assert_allclose(m2.to_dense(), m.to_dense())
+    # round trip
+    m3 = slt.Matrix.from_dict(m.to_dict())
+    np.testing.assert_allclose(m3.to_dense(), m.to_dense())
+
+
+def test_padding_is_lane_aligned():
+    A = slt.generate("tridiagonal", 100)
+    op = A.op()
+    assert op.n_pad % 128 == 0

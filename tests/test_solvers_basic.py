@@ -1,0 +1,128 @@
+"""End-to-end solver tests vs NumPy f64 oracles.
+
+Mirrors the reference's solver unit tests (neumann.rs:558-649: small systems,
+convergence, DD rejection) and the fixture-style validation in
+scripts/linear_systems/iterative_solvers.py.
+"""
+import numpy as np
+import pytest
+
+import sublinear_tpu as slt
+from conftest import make_dd_system
+
+TOL = 1e-6
+SOL_RTOL = 2e-4  # f32 compute vs f64 oracle
+
+
+@pytest.mark.parametrize("method", ["neumann", "conjugate-gradient", "jacobi", "gauss-seidel"])
+def test_small_dd_system_all_methods(method):
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=0)
+    result = slt.solve(A, b, method=method, epsilon=TOL)
+    assert result.converged, f"{method} did not converge: {result.residual}"
+    np.testing.assert_allclose(result.solution, x_ref, rtol=SOL_RTOL, atol=1e-4)
+    # residual really is small (relative)
+    r = np.linalg.norm(A.to_dense() @ result.solution - b) / np.linalg.norm(b)
+    assert r < 10 * TOL
+
+
+def test_solve_1000x1000_generated_dd():
+    """BASELINE config #1: generated 1000x1000 DD sparse system."""
+    n = 1000
+    A = slt.generate("random-sparse", n, seed=7, density=0.001)
+    b = slt.rhs(n, seed=7)
+    result = slt.solve(A, b, method="neumann", epsilon=TOL)
+    assert result.converged
+    r = np.linalg.norm(A.csr.matvec(result.solution) - b) / np.linalg.norm(b)
+    assert r < 10 * TOL
+
+
+def test_tridiagonal_cg():
+    n = 200
+    A = slt.generate("tridiagonal", n)
+    b = slt.rhs(n, seed=1)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    result = slt.solve(A, b, method="conjugate-gradient", epsilon=1e-8)
+    np.testing.assert_allclose(result.solution, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_laplacian_plus_identity():
+    n = 128
+    L = slt.generate("laplacian", n, seed=3, connectivity=0.05)
+    A = slt.Matrix(L.csr.add_diagonal(1.0))
+    b = slt.rhs(n, seed=3)
+    result = slt.solve(A, b, method="conjugate-gradient", epsilon=TOL)
+    assert result.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(result.solution, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_non_dd_rejected_for_neumann():
+    # clearly non-dominant matrix
+    A = slt.Matrix.from_dense(np.array([[1.0, 5.0], [5.0, 1.0]]))
+    with pytest.raises(slt.NotDiagonallyDominantError):
+        slt.solve(A, [1.0, 1.0], method="neumann")
+
+
+def test_dimension_mismatch():
+    A = slt.generate("tridiagonal", 10)
+    with pytest.raises(slt.DimensionMismatchError):
+        slt.solve(A, np.ones(9))
+
+
+def test_adaptive_dispatch_picks_something_that_converges():
+    A, b, x_ref = make_dd_system(n=80, density=0.08, seed=11)
+    result = slt.solve(A, b, method="adaptive", epsilon=TOL)
+    assert result.converged
+    np.testing.assert_allclose(result.solution, x_ref, rtol=SOL_RTOL, atol=1e-4)
+
+
+def test_warm_restart_x0():
+    """update_rhs-style warm start (reference: neumann.rs:436-462)."""
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=5)
+    r1 = slt.solve(A, b, method="conjugate-gradient", epsilon=TOL)
+    # perturb RHS slightly, warm-start from previous solution
+    b2 = b + 1e-3 * slt.rhs(64, seed=99)
+    r2 = slt.solve(A, b2, method="conjugate-gradient", epsilon=TOL, x0=r1.solution)
+    cold = slt.solve(A, b2, method="conjugate-gradient", epsilon=TOL)
+    assert r2.converged
+    assert r2.iterations <= cold.iterations
+    x_ref2 = np.linalg.solve(A.to_dense(), b2)
+    np.testing.assert_allclose(r2.solution, x_ref2, rtol=SOL_RTOL, atol=1e-4)
+
+
+def test_divergence_detected():
+    # spectral radius > 1 for Jacobi: weakly non-dominant handled by E001; use
+    # CG on an indefinite matrix to exercise non-convergence reporting instead
+    A = slt.Matrix.from_dense(np.array([[1.0, 2.0], [2.0, 1.0]]))
+    res = slt.solve(A, [1.0, 1.0], method="conjugate-gradient",
+                    epsilon=1e-12, max_iterations=1, raise_on_fail=False)
+    assert not res.converged
+
+
+def test_bicgstab_on_asymmetric():
+    from sublinear_tpu.solvers.cg import solve_bicgstab
+
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=21)
+    res = solve_bicgstab(A, b, slt.SolverOptions(epsilon=TOL))
+    assert res.converged
+    np.testing.assert_allclose(res.solution, x_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_analysis_fields():
+    A, b, _ = make_dd_system(n=50, density=0.1, seed=2)
+    a = slt.analyze(A)
+    assert a.is_diagonally_dominant
+    assert a.dominance_type == "row"
+    assert 0 < a.dominance_strength <= 1
+    assert not a.is_symmetric
+    assert a.size == (50, 50)
+    assert a.spectral_radius_estimate < 1.0
+    d = a.to_dict()
+    assert d["isDiagonallyDominant"] is True
+
+
+def test_analysis_symmetric():
+    A = slt.generate("tridiagonal", 32)
+    a = slt.analyze(A)
+    assert a.is_symmetric
+    assert a.bandwidth == 1
