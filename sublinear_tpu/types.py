@@ -147,6 +147,7 @@ class SolverResult:
     compute_time_ms: float = 0.0
     memory_used: int = 0
     stats: Optional[SolverStats] = None
+    phases: Optional[list] = None  # hybrid per-phase metrics (hybrid.rs:75-127)
 
     def to_dict(self) -> dict:
         d = {

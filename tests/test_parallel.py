@@ -1,0 +1,88 @@
+"""Distributed solver tests on the 8-device virtual CPU mesh.
+
+The reference has no multi-node tests (SURVEY.md §4: "Multi-node testing:
+none") — these tests are the TPU build's addition: row-partitioned CG via
+GSPMD placement and via explicit shard_map collectives, plus batched RHS
+sharded over the batch axis.
+"""
+import numpy as np
+import pytest
+
+import jax
+
+import sublinear_tpu as slt
+from sublinear_tpu.parallel.mesh import factor2, make_mesh
+from sublinear_tpu.parallel.sharded import solve_batch, solve_cg_sharded
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(jax.devices()[:8])
+
+
+def spd_system(n=300, seed=0):
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5))
+    b = slt.rhs(n, seed=seed)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    return A, b, x_ref
+
+
+def test_factor2():
+    assert factor2(8) == (4, 2)
+    assert factor2(7) == (7, 1)
+    assert factor2(16) == (4, 4)
+
+
+def test_mesh_axes(mesh8):
+    assert mesh8.shape == {"rows": 4, "batch": 2}
+
+
+@pytest.mark.parametrize("mode", ["auto", "explicit"])
+def test_sharded_cg_matches_oracle(mesh8, mode):
+    A, b, x_ref = spd_system()
+    r = solve_cg_sharded(A, b, mesh=mesh8, mode=mode,
+                         options=slt.SolverOptions(epsilon=1e-8))
+    assert r.converged, f"residual {r.residual}"
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_matches_single_device():
+    A, b, x_ref = spd_system(n=200, seed=3)
+    single = slt.solve(A, b, method="conjugate-gradient", epsilon=1e-8)
+    mesh = make_mesh(jax.devices()[:4], shape=(4, 1))
+    multi = solve_cg_sharded(A, b, mesh=mesh, mode="explicit",
+                             options=slt.SolverOptions(epsilon=1e-8))
+    np.testing.assert_allclose(multi.solution, single.solution, rtol=1e-4, atol=1e-5)
+
+
+def test_batch_solve_single_device():
+    A, _, _ = spd_system(n=150, seed=1)
+    rng = np.random.default_rng(0)
+    B = rng.normal(size=(150, 5))
+    results = solve_batch(A, B, slt.SolverOptions(epsilon=1e-8))
+    assert len(results) == 5
+    dense = A.to_dense()
+    for j, r in enumerate(results):
+        assert r.converged
+        np.testing.assert_allclose(r.solution, np.linalg.solve(dense, B[:, j]), rtol=1e-3, atol=1e-4)
+
+
+def test_batch_solve_sharded(mesh8):
+    A, _, _ = spd_system(n=150, seed=2)
+    rng = np.random.default_rng(1)
+    B = rng.normal(size=(150, 6))
+    results = solve_batch(A, B, slt.SolverOptions(epsilon=1e-8), mesh=mesh8)
+    dense = A.to_dense()
+    for j, r in enumerate(results):
+        assert r.converged
+        np.testing.assert_allclose(r.solution, np.linalg.solve(dense, B[:, j]), rtol=1e-3, atol=1e-4)
+
+
+def test_shard_operator_padding(mesh8):
+    from sublinear_tpu.parallel.sharded import shard_operator
+
+    A, _, _ = spd_system(n=100)
+    op = shard_operator(A, mesh8)
+    assert op.n_pad % (128 * 4) == 0
+    assert op.tail_nnz == 0

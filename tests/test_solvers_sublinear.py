@@ -1,0 +1,142 @@
+"""Push / random-walk / hybrid / BMSSP solver tests.
+
+Property-style checks mirroring the reference's push test suites
+(/root/reference/tests/rust/push_tests.rs — convergence, locality,
+reachability) and hybrid_tests.rs, with NumPy f64 oracles.
+"""
+import numpy as np
+import pytest
+
+import sublinear_tpu as slt
+from conftest import make_dd_system
+
+
+def test_forward_push_converges():
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=0)
+    r = slt.solve(A, b, method="forward-push", epsilon=1e-6)
+    assert r.converged
+    np.testing.assert_allclose(r.solution, x_ref, rtol=5e-4, atol=1e-4)
+
+
+def test_forward_push_sparse_rhs_locality():
+    """Push with a single-entry RHS on a banded system stays localized:
+    the solution mass concentrates near the source (push's O(1/eps) story)."""
+    n = 256
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5))  # strictly DD
+    b = np.zeros(n)
+    b[128] = 1.0
+    r = slt.solve(A, b, method="forward-push", epsilon=1e-8)
+    assert r.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_backward_push_full_solve_delegates():
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=1)
+    r = slt.solve(A, b, method="backward-push", epsilon=1e-6)
+    assert r.converged
+    np.testing.assert_allclose(r.solution, x_ref, rtol=5e-4, atol=1e-4)
+
+
+def test_bidirectional_push_polish():
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=2)
+    r = slt.solve(A, b, method="bidirectional", epsilon=1e-6)
+    assert r.converged
+    assert r.method == "bidirectional"
+    np.testing.assert_allclose(r.solution, x_ref, rtol=5e-4, atol=1e-4)
+
+
+def test_adjoint_push_solve():
+    from sublinear_tpu.solvers.push import adjoint_solve
+
+    A, b, _ = make_dd_system(n=50, density=0.1, seed=3)
+    e = np.zeros(50)
+    e[7] = 1.0
+    y, k, res = adjoint_solve(A, e, slt.SolverOptions(epsilon=1e-8))
+    y = np.asarray(y)[:50]
+    y_ref = np.linalg.solve(A.to_dense().T, e)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-5)
+    # x_7 = y . b (the backward-push single-entry identity)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    assert abs(float(y @ b) - x_ref[7]) < 1e-3 * max(1, abs(x_ref[7]))
+
+
+def test_random_walk_estimates_solution():
+    # strong dominance => small spectral radius => low-variance walks
+    A = slt.generate("random-sparse", 48, seed=5, density=0.08)
+    # strengthen diagonal further for fast geometric decay
+    A = slt.Matrix(A.csr.add_diagonal(2.0))
+    b = slt.rhs(48, seed=5)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    r = slt.solve(A, b, method="random-walk", epsilon=0.05,
+                  num_walks=2000, seed=1, raise_on_fail=False)
+    err = np.abs(r.solution - x_ref)
+    scale = np.abs(x_ref).max()
+    assert err.max() < 0.08 * max(scale, 1.0), f"max err {err.max():.4f}"
+
+
+def test_random_walk_entry_estimates():
+    from sublinear_tpu.solvers.random_walk import walk_estimate
+
+    A = slt.generate("random-sparse", 48, seed=6, density=0.08)
+    A = slt.Matrix(A.csr.add_diagonal(2.0))
+    b = slt.rhs(48, seed=6)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    est, var, steps = walk_estimate(A, b, [0, 7, 33], slt.SolverOptions(num_walks=4000, seed=2))
+    np.testing.assert_allclose(est, x_ref[[0, 7, 33]], atol=0.05)
+    assert np.all(var >= 0)
+
+
+def test_hybrid_converges_and_reports_phases():
+    A, b, x_ref = make_dd_system(n=96, density=0.06, seed=7)
+    r = slt.solve(A, b, method="hybrid", epsilon=1e-6)
+    assert r.converged
+    assert r.method == "hybrid"
+    assert r.phases is not None and len(r.phases) >= 1
+    np.testing.assert_allclose(r.solution, x_ref, rtol=5e-4, atol=1e-4)
+
+
+def test_bmssp_small_falls_back_to_cg():
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=8)
+    r = slt.solve(A, b, method="bmssp", epsilon=1e-6)
+    assert r.method.startswith("bmssp")
+    assert r.converged
+    np.testing.assert_allclose(r.solution, x_ref, rtol=5e-4, atol=1e-4)
+
+
+def test_bmssp_graph_path():
+    """Sparse large-ish system with sparse RHS exercises the Bellman-Ford path."""
+    n = 512
+    A = slt.generate("random-sparse", n, seed=9, density=0.004)
+    b = np.zeros(n)
+    b[3] = 1.0
+    r = slt.solve(A, b, method="bmssp", epsilon=1e-6, raise_on_fail=False)
+    assert r.solution.shape == (n,)
+    # source coordinate gets the dominant mass: x_src = b_src / (1 + 0)
+    assert abs(r.solution[3] - 1.0) < 1e-6 or r.method != "bmssp"
+
+
+def test_bmssp_shortest_paths_vs_dijkstra_oracle():
+    from sublinear_tpu.solvers.bmssp import shortest_paths
+
+    n = 128
+    A = slt.generate("random-sparse", n, seed=10, density=0.03)
+    dist, x, sweeps = shortest_paths(A, [0])
+    # oracle: dense Dijkstra in numpy (O(n^2))
+    dense = np.abs(A.to_dense())
+    np.fill_diagonal(dense, 0.0)
+    with np.errstate(divide="ignore"):
+        cost = np.where(dense > 0, 1.0 / dense, np.inf)
+    dist_ref = np.full(n, np.inf)
+    dist_ref[0] = 0.0
+    done = np.zeros(n, dtype=bool)
+    for _ in range(n):
+        u = np.argmin(np.where(done, np.inf, dist_ref))
+        if not np.isfinite(dist_ref[u]):
+            break
+        done[u] = True
+        nd = dist_ref[u] + cost[u]
+        dist_ref = np.minimum(dist_ref, nd)
+    reach = np.isfinite(dist_ref)
+    np.testing.assert_allclose(dist[:n][reach], dist_ref[reach], rtol=1e-4)
+    assert np.all(dist[:n][~reach] > 1e29)
