@@ -41,6 +41,16 @@ class CSR:
         if rows.size:
             if rows.min() < 0 or rows.max() >= n or cols.min() < 0 or cols.max() >= m:
                 raise InvalidMatrixError("COO indices out of bounds")
+        if sum_duplicates and rows.size > 200_000:
+            # large inputs: native C++ packer (sort + dedup in one pass)
+            try:
+                from .. import native
+
+                if native.available():
+                    indptr, indices, data = native.coo_to_csr(rows, cols, vals, n)
+                    return cls(indptr, indices, data, (n, m))
+            except Exception:
+                pass  # fall through to NumPy
         order = np.lexsort((cols, rows))
         rows, cols, vals = rows[order], cols[order], vals[order]
         if sum_duplicates and rows.size:

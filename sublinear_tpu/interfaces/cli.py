@@ -1,0 +1,285 @@
+"""Command-line interface.
+
+Parity with the shipped CLI (/root/reference/src/cli/index.ts:28-410:
+serve/solve/analyze/pagerank/generate/help-examples) plus the legacy CLI's
+verify/benchmark/convert commands (/root/reference/bin/cli.js:256-491).
+
+Usage: python -m sublinear_tpu.interfaces.cli <command> [options]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_json(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _load_matrix(path):
+    from ..matrix import Matrix
+
+    data = _load_json(path)
+    if isinstance(data, dict) and "matrix" in data:
+        data = data["matrix"]
+    return Matrix.from_dict(data) if isinstance(data, dict) else Matrix.from_dense(np.asarray(data))
+
+
+def _load_vector(path):
+    data = _load_json(path)
+    if isinstance(data, dict) and "vector" in data:
+        data = data["vector"]
+    return np.asarray(data, dtype=np.float64).reshape(-1)
+
+
+def cmd_solve(args):
+    import sublinear_tpu as slt
+
+    A = _load_matrix(args.matrix)
+    b = _load_vector(args.vector)
+    analysis = slt.analyze(A)
+    if args.verbose:
+        print(f"matrix {A.shape[0]}x{A.shape[1]} nnz={A.nnz} DD={analysis.is_diagonally_dominant} "
+              f"recommended={analysis.recommended_method}", file=sys.stderr)
+    t0 = time.perf_counter()
+    result = slt.solve(
+        A, b, method=args.method, epsilon=args.epsilon,
+        max_iterations=args.max_iterations, raise_on_fail=not args.no_raise,
+    )
+    wall = (time.perf_counter() - t0) * 1e3
+    out = result.to_dict()
+    out["wallTimeMs"] = wall
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f)
+        print(f"solution written to {args.output} ({result.method}, "
+              f"{result.iterations} iters, residual {result.residual:.3e})", file=sys.stderr)
+    else:
+        json.dump(out, sys.stdout)
+        print()
+    return 0
+
+
+def cmd_analyze(args):
+    import sublinear_tpu as slt
+
+    A = _load_matrix(args.matrix)
+    analysis = slt.analyze(A, estimate_condition=not args.no_condition)
+    json.dump(analysis.to_dict(), sys.stdout, indent=2 if args.pretty else None)
+    print()
+    return 0
+
+
+def cmd_pagerank(args):
+    from ..graph import pagerank, pagerank_statistics, personalized_pagerank
+
+    A = _load_matrix(args.adjacency)
+    if args.personalized:
+        nodes = [int(x) for x in args.personalized.split(",")]
+        result = personalized_pagerank(
+            A, nodes, damping=args.damping, epsilon=args.epsilon, max_iterations=args.max_iterations
+        )
+    else:
+        result = pagerank(A, damping=args.damping, epsilon=args.epsilon, max_iterations=args.max_iterations)
+    out = result.to_dict()
+    out.update(pagerank_statistics(result, top_k=args.top))
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(out, f)
+        print(f"pagerank written to {args.output}", file=sys.stderr)
+    else:
+        json.dump(out, sys.stdout)
+        print()
+    return 0
+
+
+def cmd_generate(args):
+    import sublinear_tpu as slt
+
+    params = json.loads(args.params) if args.params else {}
+    A = slt.generate(args.type, args.size, seed=args.seed, **params)
+    doc = A.to_dict("dense" if args.dense else "coo")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(doc, f)
+        print(f"{args.type} {args.size}x{args.size} (nnz={A.nnz}) written to {args.output}", file=sys.stderr)
+    else:
+        json.dump(doc, sys.stdout)
+        print()
+    return 0
+
+
+def cmd_estimate(args):
+    import sublinear_tpu as slt
+    from ..queries import estimate_entry
+
+    A = _load_matrix(args.matrix)
+    b = _load_vector(args.vector)
+    est = estimate_entry(
+        A, b, row=args.row, column=args.column, method=args.method, epsilon=args.epsilon
+    )
+    json.dump(est.to_dict(), sys.stdout)
+    print()
+    return 0
+
+
+def cmd_verify(args):
+    """Random-probe verification of a solution file (bin/cli.js:354-380)."""
+    import sublinear_tpu as slt
+
+    A = _load_matrix(args.matrix)
+    b = _load_vector(args.vector)
+    sol = _load_json(args.solution)
+    x = np.asarray(sol["solution"] if isinstance(sol, dict) else sol, dtype=np.float64)
+    r = A.csr.matvec(x) - b
+    rel = float(np.linalg.norm(r) / max(np.linalg.norm(b), 1e-30))
+    rng = np.random.default_rng(0)
+    probes = rng.choice(A.shape[0], size=min(args.probes, A.shape[0]), replace=False)
+    out = {
+        "relativeResidual": rel,
+        "maxAbsResidual": float(np.abs(r).max()),
+        "probes": [{"row": int(i), "residual": float(r[i])} for i in probes],
+        "verified": rel <= args.epsilon,
+    }
+    json.dump(out, sys.stdout)
+    print()
+    return 0 if out["verified"] else 1
+
+
+def cmd_benchmark(args):
+    import sublinear_tpu as slt
+
+    sizes = [int(s) for s in args.sizes.split(",")]
+    report = []
+    for n in sizes:
+        A = slt.generate("random-sparse", n, seed=7, density=args.density)
+        b = slt.rhs(n, seed=7)
+        r = slt.solve(A, b, method=args.method, epsilon=args.epsilon, raise_on_fail=False)
+        # warm timing
+        t0 = time.perf_counter()
+        r = slt.solve(A, b, method=args.method, epsilon=args.epsilon, raise_on_fail=False)
+        ms = (time.perf_counter() - t0) * 1e3
+        report.append(
+            {"n": n, "nnz": A.nnz, "ms": ms, "iterations": r.iterations,
+             "residual": r.residual, "converged": r.converged, "method": r.method}
+        )
+        print(f"n={n:8d} nnz={A.nnz:10d} {ms:9.2f}ms iters={r.iterations}", file=sys.stderr)
+    json.dump(report, sys.stdout)
+    print()
+    return 0
+
+
+def cmd_serve_mcp(args):
+    from .mcp_server import MCPServer
+
+    MCPServer().run()
+    return 0
+
+
+def cmd_serve_http(args):
+    from .http_server import serve
+
+    serve(host=args.host, port=args.port)
+    return 0
+
+
+def build_parser():
+    p = argparse.ArgumentParser(
+        prog="sublinear-tpu",
+        description="TPU-native sublinear-time solver for diagonally-dominant systems",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("solve", help="solve Ax=b from JSON files")
+    s.add_argument("-m", "--matrix", required=True)
+    s.add_argument("-b", "--vector", required=True)
+    s.add_argument("--method", default="adaptive")
+    s.add_argument("-e", "--epsilon", type=float, default=1e-6)
+    s.add_argument("--max-iterations", type=int, default=1000)
+    s.add_argument("-o", "--output")
+    s.add_argument("-v", "--verbose", action="store_true")
+    s.add_argument("--no-raise", action="store_true")
+    s.set_defaults(fn=cmd_solve)
+
+    s = sub.add_parser("analyze", help="analyze matrix properties")
+    s.add_argument("-m", "--matrix", required=True)
+    s.add_argument("--pretty", action="store_true")
+    s.add_argument("--no-condition", action="store_true")
+    s.set_defaults(fn=cmd_analyze)
+
+    s = sub.add_parser("pagerank", help="compute PageRank of an adjacency matrix")
+    s.add_argument("-a", "--adjacency", required=True)
+    s.add_argument("-d", "--damping", type=float, default=0.85)
+    s.add_argument("-e", "--epsilon", type=float, default=1e-6)
+    s.add_argument("--max-iterations", type=int, default=1000)
+    s.add_argument("--personalized", help="comma-separated node list")
+    s.add_argument("--top", type=int, default=10)
+    s.add_argument("-o", "--output")
+    s.set_defaults(fn=cmd_pagerank)
+
+    s = sub.add_parser("generate", help="generate test matrices")
+    s.add_argument("-t", "--type", required=True,
+                   choices=["diagonally-dominant", "laplacian", "random-sparse", "tridiagonal"])
+    s.add_argument("-s", "--size", type=int, required=True)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--params", help='JSON dict, e.g. {"density": 0.01}')
+    s.add_argument("--dense", action="store_true")
+    s.add_argument("-o", "--output")
+    s.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("estimate", help="estimate a single solution entry")
+    s.add_argument("-m", "--matrix", required=True)
+    s.add_argument("-b", "--vector", required=True)
+    s.add_argument("--row", type=int, required=True)
+    s.add_argument("--column", type=int, default=0)
+    s.add_argument("--method", default="random-walk")
+    s.add_argument("-e", "--epsilon", type=float, default=1e-3)
+    s.set_defaults(fn=cmd_estimate)
+
+    s = sub.add_parser("verify", help="verify a solution with random probes")
+    s.add_argument("-m", "--matrix", required=True)
+    s.add_argument("-b", "--vector", required=True)
+    s.add_argument("-s", "--solution", required=True)
+    s.add_argument("-e", "--epsilon", type=float, default=1e-5)
+    s.add_argument("--probes", type=int, default=10)
+    s.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("benchmark", help="timing sweep over sizes")
+    s.add_argument("--sizes", default="100,1000")
+    s.add_argument("--density", type=float, default=0.001)
+    s.add_argument("--method", default="conjugate-gradient")
+    s.add_argument("-e", "--epsilon", type=float, default=1e-6)
+    s.set_defaults(fn=cmd_benchmark)
+
+    s = sub.add_parser("serve-mcp", help="run the MCP stdio server")
+    s.set_defaults(fn=cmd_serve_mcp)
+
+    s = sub.add_parser("serve", help="run the HTTP streaming server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=3000)
+    s.set_defaults(fn=cmd_serve_http)
+
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except Exception as e:  # structured error reporting at the CLI boundary
+        from ..errors import SolverError
+
+        if isinstance(e, SolverError):
+            json.dump(e.to_dict(), sys.stderr)
+            print(file=sys.stderr)
+            return 2
+        raise
+
+
+if __name__ == "__main__":
+    sys.exit(main())

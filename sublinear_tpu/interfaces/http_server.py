@@ -1,0 +1,240 @@
+"""HTTP streaming server (stdlib, no external web framework).
+
+Parity with the reference server (/root/reference/server/index.js:13-628):
+
+  GET  /health                      - liveness + device info
+  POST /api/v1/solve                - blocking solve
+  POST /api/v1/solve-stream         - chunked JSON-lines SolutionChunk stream
+  GET  /api/v1/jobs/<id>            - job status
+  GET  /api/v1/jobs/<id>/stream     - stream chunks of a running job
+  POST /api/v1/verify               - random-probe verification
+  GET  /api/v1/sessions/<id>        - session info
+
+Sessions/jobs mirror SessionManager (/root/reference/server/session-manager.js:5-439):
+in-memory lifecycle with background worker threads (the reference uses
+worker_threads; here the device program runs in a Python thread and streams
+chunks through a queue).
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class Job:
+    def __init__(self, job_id: str, session_id: str):
+        self.id = job_id
+        self.session_id = session_id
+        self.status = "pending"  # pending|running|completed|failed
+        self.chunks: "queue.Queue" = queue.Queue()
+        self.result = None
+        self.error = None
+        self.created = time.time()
+
+
+class SessionManager:
+    """In-memory sessions + job queue (session-manager.js:83-211)."""
+
+    def __init__(self):
+        self.sessions: dict = {}
+        self.jobs: dict = {}
+        self.lock = threading.Lock()
+
+    def create_session(self) -> dict:
+        sid = str(uuid.uuid4())
+        session = {"id": sid, "created": time.time(), "jobs": [], "status": "active"}
+        with self.lock:
+            self.sessions[sid] = session
+        return session
+
+    def submit_job(self, payload: dict) -> Job:
+        session = self.create_session()
+        job = Job(str(uuid.uuid4()), session["id"])
+        with self.lock:
+            self.jobs[job.id] = job
+            session["jobs"].append(job.id)
+        thread = threading.Thread(target=self._run_job, args=(job, payload), daemon=True)
+        thread.start()
+        return job
+
+    def _run_job(self, job: Job, payload: dict):
+        job.status = "running"
+        try:
+            import sublinear_tpu as slt
+            from ..solvers.streaming import streaming_solve
+
+            matrix = slt.Matrix.from_dict(payload["matrix"])
+            b = np.asarray(payload["vector"], dtype=np.float64)
+            options = slt.SolverOptions(
+                epsilon=float(payload.get("epsilon", 1e-6)),
+                max_iterations=int(payload.get("maxIterations", 1000)),
+            )
+            method = payload.get("method", "conjugate-gradient")
+            last = None
+            for chunk in streaming_solve(matrix, b, options, method=method):
+                last = chunk
+                job.chunks.put(chunk.to_dict())
+            job.result = last.to_dict() if last else None
+            job.status = "completed" if (last and last.converged) else "failed"
+        except Exception as e:
+            job.error = str(e)
+            job.status = "failed"
+        finally:
+            job.chunks.put(None)  # sentinel
+
+
+MANAGER = SessionManager()
+
+
+class Handler(BaseHTTPRequestHandler):
+    server_version = "sublinear-tpu/0.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    # ------------------------------------------------------------- helpers
+    def _json(self, code: int, obj):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_body(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        if length == 0:
+            return {}
+        return json.loads(self.rfile.read(length))
+
+    # ------------------------------------------------------------- routes
+    def do_GET(self):
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if parts == ["health"]:
+            import jax
+
+            return self._json(200, {
+                "status": "healthy",
+                "backend": jax.default_backend(),
+                "devices": len(jax.devices()),
+                "uptime": time.time(),
+            })
+        if len(parts) == 4 and parts[:3] == ["api", "v1", "jobs"]:
+            job = MANAGER.jobs.get(parts[3])
+            if job is None:
+                return self._json(404, {"error": "job not found"})
+            return self._json(200, {
+                "id": job.id, "status": job.status, "sessionId": job.session_id,
+                "result": job.result, "error": job.error,
+            })
+        if len(parts) == 5 and parts[:3] == ["api", "v1", "jobs"] and parts[4] == "stream":
+            job = MANAGER.jobs.get(parts[3])
+            if job is None:
+                return self._json(404, {"error": "job not found"})
+            return self._stream_job(job)
+        if len(parts) == 4 and parts[:3] == ["api", "v1", "sessions"]:
+            s = MANAGER.sessions.get(parts[3])
+            if s is None:
+                return self._json(404, {"error": "session not found"})
+            return self._json(200, s)
+        return self._json(404, {"error": f"unknown path {self.path}"})
+
+    def do_POST(self):
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        try:
+            payload = self._read_body()
+        except json.JSONDecodeError:
+            return self._json(400, {"error": "invalid JSON body"})
+        try:
+            if parts == ["api", "v1", "solve"]:
+                return self._solve_blocking(payload)
+            if parts == ["api", "v1", "solve-stream"]:
+                job = MANAGER.submit_job(payload)
+                return self._stream_job(job, header_extra={"X-Job-Id": job.id})
+            if parts == ["api", "v1", "verify"]:
+                return self._verify(payload)
+            return self._json(404, {"error": f"unknown path {self.path}"})
+        except Exception as e:
+            from ..errors import SolverError
+
+            if isinstance(e, SolverError):
+                return self._json(422, e.to_dict())
+            return self._json(500, {"error": str(e)})
+
+    # ------------------------------------------------------------- actions
+    def _solve_blocking(self, payload: dict):
+        import sublinear_tpu as slt
+
+        matrix = slt.Matrix.from_dict(payload["matrix"])
+        b = np.asarray(payload["vector"], dtype=np.float64)
+        result = slt.solve(
+            matrix, b,
+            method=payload.get("method", "adaptive"),
+            epsilon=float(payload.get("epsilon", 1e-6)),
+            max_iterations=int(payload.get("maxIterations", 1000)),
+            raise_on_fail=False,
+        )
+        return self._json(200, result.to_dict())
+
+    def _verify(self, payload: dict):
+        import sublinear_tpu as slt
+
+        matrix = slt.Matrix.from_dict(payload["matrix"])
+        b = np.asarray(payload["vector"], dtype=np.float64)
+        x = np.asarray(payload["solution"], dtype=np.float64)
+        r = matrix.csr.matvec(x) - b
+        rel = float(np.linalg.norm(r) / max(np.linalg.norm(b), 1e-30))
+        eps = float(payload.get("epsilon", 1e-5))
+        return self._json(200, {
+            "relativeResidual": rel,
+            "maxAbsResidual": float(np.abs(r).max()) if r.size else 0.0,
+            "verified": rel <= eps,
+        })
+
+    def _stream_job(self, job: Job, header_extra: dict | None = None):
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-ndjson")
+        self.send_header("Transfer-Encoding", "chunked")
+        for k, v in (header_extra or {}).items():
+            self.send_header(k, v)
+        self.end_headers()
+
+        def write_chunk(obj):
+            data = (json.dumps(obj) + "\n").encode()
+            self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+            self.wfile.flush()
+
+        while True:
+            chunk = job.chunks.get()
+            if chunk is None:
+                break
+            write_chunk(chunk)
+        write_chunk({"done": True, "status": job.status, "jobId": job.id})
+        self.wfile.write(b"0\r\n\r\n")
+        self.wfile.flush()
+
+
+def serve(host: str = "127.0.0.1", port: int = 3000):
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"sublinear-tpu HTTP server on http://{host}:{server.server_address[1]}", flush=True)
+    server.serve_forever()
+
+
+def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=3000)
+    a = ap.parse_args()
+    serve(a.host, a.port)

@@ -61,6 +61,10 @@ def predict_with_temporal_advantage(
     n = vector.size
     options = options or SolverOptions(max_iterations=max(int(math.log2(max(n, 2))) + 1, 20))
 
+    # warm the jitted program so the timed solve measures compute, not compile
+    # (the reference's JS runtime is always warm; first-call XLA compilation is
+    # a one-time cost that would otherwise dominate the physics comparison)
+    solve(matrix, vector, options, raise_on_fail=False)
     t0 = time.perf_counter()
     result = solve(matrix, vector, options, raise_on_fail=False)
     compute_ms = (time.perf_counter() - t0) * 1e3

@@ -48,6 +48,14 @@ def greedy_coloring(matrix: Matrix) -> np.ndarray:
     n = csr.shape[0]
     # symmetrize pattern
     t = matrix.T_csr()
+    if n > 2000:
+        try:
+            from .. import native
+
+            if native.available():
+                return native.greedy_coloring(csr.indptr, csr.indices, t.indptr, t.indices, n)
+        except Exception:
+            pass
     colors = np.full(n, -1, dtype=np.int32)
     for i in range(n):
         banned = set()

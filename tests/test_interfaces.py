@@ -1,0 +1,231 @@
+"""Interface tests: CLI subprocess, MCP JSON-RPC protocol, HTTP server.
+
+Mirrors the reference integration suites
+(/root/reference/tests/integration/{cli,mcp}.test.cjs — spawn the CLI as a
+subprocess, check MCP protocol compliance) and the server endpoints
+(server/index.js).
+"""
+import json
+import os
+import subprocess
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import sublinear_tpu as slt
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = [sys.executable, "-m", "sublinear_tpu.interfaces.cli"]
+
+
+def _env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def run_cli(args, timeout=300, input_text=None):
+    return subprocess.run(
+        CLI + args, capture_output=True, text=True, timeout=timeout, cwd=REPO,
+        env=_env(), input=input_text,
+    )
+
+
+@pytest.fixture(scope="module")
+def files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    A = slt.generate("random-sparse", 40, seed=3, density=0.1)
+    b = slt.rhs(40, seed=3)
+    mpath, vpath = d / "A.json", d / "b.json"
+    mpath.write_text(json.dumps(A.to_dict()))
+    vpath.write_text(json.dumps(b.tolist()))
+    return d, str(mpath), str(vpath), A, b
+
+
+def test_cli_generate_and_analyze(tmp_path):
+    out = tmp_path / "gen.json"
+    r = run_cli(["generate", "-t", "tridiagonal", "-s", "16", "-o", str(out)])
+    assert r.returncode == 0, r.stderr
+    doc = json.loads(out.read_text())
+    assert doc["rows"] == 16 and doc["format"] == "coo"
+
+    r = run_cli(["analyze", "-m", str(out)])
+    assert r.returncode == 0, r.stderr
+    a = json.loads(r.stdout)
+    assert a["isSymmetric"] is True
+    assert a["isDiagonallyDominant"] is True
+
+
+def test_cli_solve_and_verify(files, tmp_path):
+    d, mpath, vpath, A, b = files
+    sol = tmp_path / "x.json"
+    r = run_cli(["solve", "-m", mpath, "-b", vpath, "--method", "conjugate-gradient",
+                 "-o", str(sol)])
+    assert r.returncode == 0, r.stderr
+    doc = json.loads(sol.read_text())
+    assert doc["converged"] is True
+    x = np.asarray(doc["solution"])
+    assert np.linalg.norm(A.csr.matvec(x) - b) / np.linalg.norm(b) < 1e-5
+
+    r = run_cli(["verify", "-m", mpath, "-b", vpath, "-s", str(sol)])
+    assert r.returncode == 0, r.stderr
+    v = json.loads(r.stdout)
+    assert v["verified"] is True
+
+
+def test_cli_solve_non_dd_errors(files, tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"rows": 2, "cols": 2, "data": [[1, 5], [5, 1]], "format": "dense"}))
+    vec = tmp_path / "v2.json"
+    vec.write_text("[1.0, 1.0]")
+    r = run_cli(["solve", "-m", str(bad), "-b", str(vec), "--method", "neumann"])
+    assert r.returncode == 2
+    err = json.loads(r.stderr.strip().splitlines()[-1])
+    assert err["code"] == "E001"
+
+
+def test_cli_pagerank(files, tmp_path):
+    d, mpath, vpath, A, b = files
+    adj = tmp_path / "adj.json"
+    n = 12
+    rows = list(range(n)) + [0] * (n - 1)
+    cols = [(i + 1) % n for i in range(n)] + list(range(1, n))
+    adj.write_text(json.dumps({
+        "rows": n, "cols": n, "values": [1.0] * len(rows),
+        "rowIndices": rows, "colIndices": cols, "format": "coo",
+    }))
+    r = run_cli(["pagerank", "-a", str(adj)])
+    assert r.returncode == 0, r.stderr
+    doc = json.loads(r.stdout)
+    assert len(doc["pageRankVector"]) == n
+    assert doc["converged"] is True
+
+
+def test_mcp_protocol_end_to_end():
+    """Spawn the MCP server, run initialize -> tools/list -> tools/call."""
+    A = slt.generate("random-sparse", 16, seed=1, density=0.2)
+    b = slt.rhs(16, seed=1)
+    requests = [
+        {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+        {"jsonrpc": "2.0", "method": "notifications/initialized"},
+        {"jsonrpc": "2.0", "id": 2, "method": "tools/list"},
+        {"jsonrpc": "2.0", "id": 3, "method": "tools/call", "params": {
+            "name": "solve",
+            "arguments": {"matrix": A.to_dict(), "vector": b.tolist(),
+                          "method": "conjugate-gradient"},
+        }},
+        {"jsonrpc": "2.0", "id": 4, "method": "tools/call", "params": {
+            "name": "analyzeMatrix", "arguments": {"matrix": A.to_dict()},
+        }},
+        {"jsonrpc": "2.0", "id": 5, "method": "tools/call", "params": {
+            "name": "calculateLightTravel", "arguments": {"distanceKm": 10900},
+        }},
+        {"jsonrpc": "2.0", "id": 6, "method": "tools/call", "params": {
+            "name": "nonexistent", "arguments": {},
+        }},
+    ]
+    proc = subprocess.run(
+        [sys.executable, "-m", "sublinear_tpu.interfaces.mcp_server"],
+        input="\n".join(json.dumps(r) for r in requests) + "\n",
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=_env(),
+    )
+    lines = [json.loads(l) for l in proc.stdout.strip().splitlines()]
+    by_id = {l["id"]: l for l in lines if "id" in l}
+    assert by_id[1]["result"]["serverInfo"]["name"] == "sublinear-tpu-solver"
+    tool_names = {t["name"] for t in by_id[2]["result"]["tools"]}
+    # the reference's 8 tools must all be present (server.ts:54-233)
+    assert {"solve", "estimateEntry", "analyzeMatrix", "pageRank",
+            "predictWithTemporalAdvantage", "validateTemporalAdvantage",
+            "calculateLightTravel", "demonstrateTemporalLead"} <= tool_names
+    solve_out = json.loads(by_id[3]["result"]["content"][0]["text"])
+    assert solve_out["converged"] is True
+    analysis = json.loads(by_id[4]["result"]["content"][0]["text"])
+    assert analysis["isDiagonallyDominant"] is True
+    light = json.loads(by_id[5]["result"]["content"][0]["text"])
+    assert light["feasible"] is True
+    assert "error" in by_id[6]
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    from sublinear_tpu.interfaces.http_server import make_server
+
+    server = make_server(port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_address[1]}"
+    server.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_http_health(http_server):
+    with urllib.request.urlopen(http_server + "/health", timeout=30) as resp:
+        doc = json.loads(resp.read())
+    assert doc["status"] == "healthy"
+    assert doc["devices"] >= 1
+
+
+def test_http_solve_and_verify(http_server):
+    A = slt.generate("random-sparse", 24, seed=2, density=0.15)
+    b = slt.rhs(24, seed=2)
+    status, doc = _post(http_server + "/api/v1/solve",
+                        {"matrix": A.to_dict(), "vector": b.tolist()})
+    assert status == 200 and doc["converged"] is True
+    status, v = _post(http_server + "/api/v1/verify",
+                      {"matrix": A.to_dict(), "vector": b.tolist(), "solution": doc["solution"]})
+    assert status == 200 and v["verified"] is True
+
+
+def test_http_solve_stream_chunks(http_server):
+    A = slt.generate("random-sparse", 32, seed=4, density=0.1)
+    b = slt.rhs(32, seed=4)
+    req = urllib.request.Request(
+        http_server + "/api/v1/solve-stream",
+        data=json.dumps({"matrix": A.to_dict(), "vector": b.tolist(),
+                         "method": "conjugate-gradient", "epsilon": 1e-6}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        job_id = resp.headers.get("X-Job-Id")
+        lines = [json.loads(l) for l in resp.read().decode().strip().splitlines()]
+    assert job_id
+    assert lines[-1]["done"] is True and lines[-1]["status"] == "completed"
+    chunks = lines[:-1]
+    assert len(chunks) >= 1
+    assert chunks[-1]["converged"] is True
+    # job endpoint knows about it afterwards
+    with urllib.request.urlopen(http_server + f"/api/v1/jobs/{job_id}", timeout=30) as resp:
+        job = json.loads(resp.read())
+    assert job["status"] == "completed"
+
+
+def test_http_unknown_route(http_server):
+    try:
+        urllib.request.urlopen(http_server + "/nope", timeout=30)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+
+def test_streaming_solve_generator():
+    from sublinear_tpu.solvers.streaming import streaming_solve
+
+    A = slt.generate("random-sparse", 48, seed=6, density=0.1)
+    b = slt.rhs(48, seed=6)
+    chunks = list(streaming_solve(A, b, slt.SolverOptions(epsilon=1e-8), chunk_iters=5))
+    assert chunks[-1].converged
+    assert chunks[-1].solution is not None
+    assert [c.iteration for c in chunks] == sorted(c.iteration for c in chunks)
+    x = chunks[-1].solution
+    assert np.linalg.norm(A.csr.matvec(x) - b) / np.linalg.norm(b) < 1e-6
