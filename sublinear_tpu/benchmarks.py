@@ -1,0 +1,198 @@
+"""Unified benchmark runner across the framework's domains.
+
+Parity: /root/reference/scripts/performance/unified_benchmark.py
+(BenchmarkResult dataclass :22-40, cross-domain runner) and the per-domain
+harnesses (pagerank, linear systems, flow).  Timing is steady-state: one
+warmup call compiles, then the median of `reps` timed calls.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import statistics
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class BenchmarkResult:
+    name: str
+    domain: str
+    n: int
+    nnz: int
+    wall_ms: float
+    iterations: int
+    residual: float
+    converged: bool
+    extra: dict
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+def _timed(fn: Callable, reps: int = 3):
+    fn()  # warmup/compile
+    times = []
+    out = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn()
+        times.append((time.perf_counter() - t0) * 1e3)
+    return out, statistics.median(times)
+
+
+def bench_linear_system(n: int = 1000, density: float = 0.001, method: str = "neumann",
+                        epsilon: float = 1e-6, reps: int = 3, seed: int = 7) -> BenchmarkResult:
+    import sublinear_tpu as slt
+
+    A = slt.generate("random-sparse", n, seed=seed, density=density)
+    b = slt.rhs(n, seed=seed)
+    result, ms = _timed(lambda: slt.solve(A, b, method=method, epsilon=epsilon, raise_on_fail=False), reps)
+    return BenchmarkResult(
+        name=f"solve-{method}-n{n}", domain="linear_systems", n=n, nnz=A.nnz,
+        wall_ms=ms, iterations=result.iterations, residual=result.residual,
+        converged=result.converged, extra={"density": density, "method": result.method},
+    )
+
+
+def bench_pagerank(n: int = 1000, p: float = 0.01, reps: int = 3, seed: int = 3) -> BenchmarkResult:
+    import sublinear_tpu as slt
+    from sublinear_tpu.graph import pagerank
+
+    rng = np.random.default_rng(seed)
+    count = rng.binomial(n * n, p)
+    rows = rng.integers(0, n, count)
+    cols = rng.integers(0, n, count)
+    A = slt.Matrix.from_coo(rows, cols, np.ones(count), (n, n))
+    result, ms = _timed(lambda: pagerank(A, epsilon=1e-8), reps)
+    return BenchmarkResult(
+        name=f"pagerank-n{n}", domain="pagerank", n=n, nnz=A.nnz,
+        wall_ms=ms, iterations=result.iterations, residual=result.residual,
+        converged=result.converged, extra={"edgeProb": p},
+    )
+
+
+def bench_entry_estimation(n: int = 1000, entries: int = 64, reps: int = 3, seed: int = 5) -> BenchmarkResult:
+    import sublinear_tpu as slt
+    from sublinear_tpu.queries import estimate_entries
+
+    A = slt.Matrix(slt.generate("random-sparse", n, seed=seed, density=0.005).csr.add_diagonal(2.0))
+    b = slt.rhs(n, seed=seed)
+    rows = np.linspace(0, n - 1, entries).astype(int)
+    opts = slt.SolverOptions(num_walks=256, seed=seed)
+    est, ms = _timed(lambda: estimate_entries(A, b, rows, options=opts), reps)
+    return BenchmarkResult(
+        name=f"estimate-{entries}entries-n{n}", domain="queries", n=n, nnz=A.nnz,
+        wall_ms=ms, iterations=entries, residual=0.0, converged=True,
+        extra={"entries": entries, "walksPerEntry": 256},
+    )
+
+
+def bench_batch_solve(n: int = 1000, nrhs: int = 16, reps: int = 3, seed: int = 9) -> BenchmarkResult:
+    import sublinear_tpu as slt
+    from sublinear_tpu.parallel.sharded import solve_batch
+
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5))
+    rng = np.random.default_rng(seed)
+    B = rng.normal(size=(n, nrhs))
+    opts = slt.SolverOptions(epsilon=1e-6)
+    results, ms = _timed(lambda: solve_batch(A, B, opts), reps)
+    return BenchmarkResult(
+        name=f"batch{nrhs}-n{n}", domain="batch", n=n, nnz=A.nnz, wall_ms=ms,
+        iterations=results[0].iterations, residual=max(r.residual for r in results),
+        converged=all(r.converged for r in results), extra={"nrhs": nrhs},
+    )
+
+
+def bench_spmv(n: int = 100_000, nnz_per_row: int = 100, reps: int = 5, seed: int = 11) -> BenchmarkResult:
+    """ELL SpMV throughput in nnz/s — the north-star roofline metric.
+
+    Roofline: the gather path reads ~12 B/nnz (value + col index + gathered x)
+    so a v5e at ~819 GB/s tops out near ~68 Gnnz/s; report the achieved
+    fraction.  Measured as K back-to-back matvecs inside one jitted scan (no
+    dispatch overhead), input varied per rep."""
+    import jax
+    import jax.numpy as jnp
+
+    import sublinear_tpu as slt
+
+    density = nnz_per_row / n
+    A = slt.generate("random-sparse", n, seed=seed, density=density)
+    A._prefer = "ell"
+    op = A.op()
+    x = A.pad_vector(slt.rhs(n, seed=seed))
+    K = 32
+
+    # NOTE: the operator must be a jit ARGUMENT — closing over the big
+    # ELL arrays embeds them as program constants, which executes ~1000x
+    # slower through the remote-device path.
+    @jax.jit
+    def many(op, x):
+        def body(carry, _):
+            y = op.matvec(carry)
+            # renormalize to keep values finite across K iterations
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30), y[0]
+        out, probes = jax.lax.scan(body, x, None, length=K)
+        return out, probes
+
+    out = many(op, x)
+    jax.block_until_ready(out)  # compile
+    times = []
+    for rep in range(reps):
+        xv = x * (1.0 + 0.01 * rep)
+        t0 = time.perf_counter()
+        out = many(op, xv)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / K)
+    per_matvec = min(times)
+    nnz = A.nnz
+    nnz_per_s = nnz / per_matvec
+    bw = nnz_per_s * 12  # ~bytes/nnz on the gather path
+    return BenchmarkResult(
+        name=f"spmv-n{n}", domain="kernels", n=n, nnz=nnz,
+        wall_ms=per_matvec * 1e3, iterations=K, residual=0.0, converged=True,
+        extra={
+            "nnzPerSecond": nnz_per_s,
+            "approxBandwidthGBs": bw / 1e9,
+            "slotCount": op.slot_count,
+            "tailNnz": op.tail_nnz,
+        },
+    )
+
+
+def bench_solve_scaling_reference_sizes(reps: int = 3) -> list:
+    """The reference's headline size ladder (README.md:357-361):
+    1k / 10k / 100k sparse DD solves."""
+    out = []
+    for n, density in ((1000, 0.001), (10_000, 0.001), (100_000, 0.0001)):
+        out.append(bench_linear_system(n=n, density=density, method="neumann", reps=reps))
+    return out
+
+
+def run_all(sizes=(1000,), reps: int = 3) -> list:
+    out = []
+    for n in sizes:
+        out.append(bench_linear_system(n=n, reps=reps))
+        out.append(bench_pagerank(n=min(n, 2000), reps=reps))
+        out.append(bench_entry_estimation(n=min(n, 2000), reps=reps))
+        out.append(bench_batch_solve(n=min(n, 2000), reps=reps))
+    return out
+
+
+def scaling_study(sizes=(100, 300, 1000, 3000), method: str = "conjugate-gradient") -> dict:
+    """Timing-vs-n with a complexity fit (complexity_validator.py parity)."""
+    from .utils.complexity import fit_power_law
+
+    results = [bench_linear_system(n=n, method=method) for n in sizes]
+    fit = fit_power_law([r.n for r in results], [max(r.wall_ms, 1e-3) for r in results])
+    return {
+        "results": [r.to_dict() for r in results],
+        "fit": dataclasses.asdict(fit),
+    }
+
+
+if __name__ == "__main__":
+    for r in run_all():
+        print(json.dumps(r.to_dict()))

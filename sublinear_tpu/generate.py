@@ -124,6 +124,78 @@ def symmetric_laplacian_graph(n: int, connectivity: float = 0.05, seed: int = 0)
     )
 
 
+CATALOG_KINDS = (
+    "dd_symmetric",
+    "dd_asymmetric",
+    "tridiagonal",
+    "spd_well",
+    "spd_ill",
+    "banded",
+    "sparse_dd",
+    "laplacian_1d",
+)
+
+
+def catalog_matrix(kind: str, n: int, seed: int = 0) -> Matrix:
+    """Canonical fixture matrices mirroring the reference's test-matrix
+    catalog (/root/reference/scripts/linear_systems/test_matrices: 8 types
+    x n in {50,100,200,500}, indexed by matrix_catalog.json)."""
+    rng = np.random.default_rng(seed + hash(kind) % 10_000)
+    if kind == "dd_symmetric":
+        rows, cols, vals = _sparse_offdiag(n, 0.1, rng)
+        mask = rows < cols
+        r = np.concatenate([rows[mask], cols[mask]])
+        c = np.concatenate([cols[mask], rows[mask]])
+        v = np.concatenate([vals[mask], vals[mask]])
+        s = np.zeros(n)
+        np.add.at(s, r, np.abs(v))
+        d = np.arange(n)
+        return Matrix.from_coo(
+            np.concatenate([r, d]), np.concatenate([c, d]),
+            np.concatenate([v, 1.5 * s + 1.0]), (n, n),
+        )
+    if kind == "dd_asymmetric":
+        return random_sparse(n, density=0.1, dominance=True, seed=seed)
+    if kind == "tridiagonal" or kind == "laplacian_1d":
+        return tridiagonal(n)
+    if kind == "spd_well":
+        # B B^T + n I: SPD with modest condition number
+        B = rng.normal(size=(n, max(n // 4, 2)))
+        return Matrix.from_dense(B @ B.T / n + np.eye(n))
+    if kind == "spd_ill":
+        # SPD with geometric eigenvalue spread ~1e6
+        d = np.logspace(0, 6, n)
+        Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+        return Matrix.from_dense(Q @ np.diag(d) @ Q.T)
+    if kind == "banded":
+        band = 3
+        rows, cols, vals = [], [], []
+        for off in range(1, band + 1):
+            idx = np.arange(n - off)
+            w = rng.uniform(-1, 1, size=n - off)
+            rows += [idx, idx + off]
+            cols += [idx + off, idx]
+            vals += [w, w]
+        rows = np.concatenate(rows)
+        cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        s = np.zeros(n)
+        np.add.at(s, rows, np.abs(vals))
+        d = np.arange(n)
+        return Matrix.from_coo(
+            np.concatenate([rows, d]), np.concatenate([cols, d]),
+            np.concatenate([vals, 1.2 * s + 1.0]), (n, n),
+        )
+    if kind == "sparse_dd":
+        return random_sparse(n, density=min(10.0 / n, 0.5), dominance=True, seed=seed)
+    raise InvalidParametersError(f"Unknown catalog kind: {kind}")
+
+
+def catalog(sizes=(50, 100, 200, 500), kinds=CATALOG_KINDS, seed: int = 0) -> dict:
+    """Full fixture catalog {kind: {n: Matrix}}."""
+    return {kind: {n: catalog_matrix(kind, n, seed) for n in sizes} for kind in kinds}
+
+
 def rhs(n: int, seed: int = 0, kind: str = "uniform") -> np.ndarray:
     rng = np.random.default_rng(seed + 7919)
     if kind == "ones":

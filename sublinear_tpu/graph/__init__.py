@@ -1,7 +1,9 @@
 from .centrality import betweenness_centrality, closeness_centrality, compute_centralities
 from .community import detect_communities, label_propagation, modularity
+from .flow import electrical_network, max_flow, min_cost_flow, weighted_laplacian
 from .pagerank import PageRankResult, pagerank, pagerank_statistics, personalized_pagerank
 from .resistance import effective_resistance, grounded_laplacian
+from .social import degroot_consensus, friedkin_johnsen, influence_propagation
 
 __all__ = [
     "PageRankResult",
@@ -16,4 +18,11 @@ __all__ = [
     "detect_communities",
     "label_propagation",
     "modularity",
+    "electrical_network",
+    "max_flow",
+    "min_cost_flow",
+    "weighted_laplacian",
+    "friedkin_johnsen",
+    "degroot_consensus",
+    "influence_propagation",
 ]

@@ -22,19 +22,15 @@ def _load_json(path):
 
 
 def _load_matrix(path):
-    from ..matrix import Matrix
+    from ..formats.io import load_matrix
 
-    data = _load_json(path)
-    if isinstance(data, dict) and "matrix" in data:
-        data = data["matrix"]
-    return Matrix.from_dict(data) if isinstance(data, dict) else Matrix.from_dense(np.asarray(data))
+    return load_matrix(path)  # JSON / .mtx / .csv
 
 
 def _load_vector(path):
-    data = _load_json(path)
-    if isinstance(data, dict) and "vector" in data:
-        data = data["vector"]
-    return np.asarray(data, dtype=np.float64).reshape(-1)
+    from ..formats.io import load_vector
+
+    return load_vector(path)
 
 
 def cmd_solve(args):
@@ -174,6 +170,17 @@ def cmd_benchmark(args):
     return 0
 
 
+def cmd_convert(args):
+    """Matrix format conversion (bin/cli.js convert: JSON/CSV/MatrixMarket)."""
+    from ..formats.io import load_matrix, save_matrix
+
+    A = load_matrix(args.input)
+    save_matrix(A, args.output, fmt=args.format)
+    print(f"converted {args.input} ({A.shape[0]}x{A.shape[1]}, nnz={A.nnz}) -> {args.output}",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_serve_mcp(args):
     from .mcp_server import MCPServer
 
@@ -255,6 +262,12 @@ def build_parser():
     s.add_argument("--method", default="conjugate-gradient")
     s.add_argument("-e", "--epsilon", type=float, default=1e-6)
     s.set_defaults(fn=cmd_benchmark)
+
+    s = sub.add_parser("convert", help="convert matrix files (json/csv/mtx)")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("-f", "--format", choices=["json", "csv", "mtx"])
+    s.set_defaults(fn=cmd_convert)
 
     s = sub.add_parser("serve-mcp", help="run the MCP stdio server")
     s.set_defaults(fn=cmd_serve_mcp)

@@ -20,6 +20,11 @@ from .formats.csr import CSR
 from .formats import ell as _ell
 
 
+import itertools
+
+_UID = itertools.count()
+
+
 class Matrix:
     """Square-or-rectangular sparse/dense matrix with device-operator cache."""
 
@@ -28,6 +33,8 @@ class Matrix:
         self._prefer = prefer  # None | 'dense' | 'ell'
         self._ops: dict = {}
         self._transpose_csr: Optional[CSR] = None
+        # process-unique id for external caches (id() is reused after GC)
+        self.uid = next(_UID)
 
     # ------------------------------------------------------------ constructors
     @classmethod

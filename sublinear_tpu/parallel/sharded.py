@@ -165,7 +165,7 @@ def solve_cg_sharded(
             x, k, res = _cg_run(op, b_local, x0, threshold, jnp.int32(options.max_iterations), True)
             jax.block_until_ready(x)
     else:
-        key = (id(mesh), "cg")
+        key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "cg")
         if key not in _EXPLICIT_CACHE:
             _EXPLICIT_CACHE[key] = _explicit_cg_factory(mesh)
         fn = _EXPLICIT_CACHE[key]

@@ -102,6 +102,8 @@ def solve(
 
     if m == Method.NEUMANN:
         return _neumann.solve_neumann(matrix, b, options, raise_on_fail)
+    if m == Method.BICGSTAB:
+        return _cg.solve_bicgstab(matrix, b, options, raise_on_fail)
     if m == Method.CG:
         # CG's convergence theory needs symmetry; for asymmetric systems the
         # right Krylov method is BiCGSTAB (the reference applies plain CG to

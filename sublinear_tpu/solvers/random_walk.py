@@ -58,7 +58,7 @@ _TABLE_CACHE: dict = {}
 
 
 def sampling_tables(matrix: Matrix, dtype=None) -> SamplingTables:
-    key = (id(matrix), str(resolve_dtype(dtype)))
+    key = (matrix.uid, str(resolve_dtype(dtype)))
     if key in _TABLE_CACHE:
         return _TABLE_CACHE[key]
     dt = resolve_dtype(dtype)

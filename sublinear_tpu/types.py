@@ -39,6 +39,7 @@ class Method(str, enum.Enum):
     BACKWARD_PUSH = "backward-push"
     BIDIRECTIONAL = "bidirectional"
     CG = "conjugate-gradient"
+    BICGSTAB = "bicgstab"
     JACOBI = "jacobi"
     GAUSS_SEIDEL = "gauss-seidel"
     SOR = "sor"

@@ -1,0 +1,70 @@
+"""Structured per-solve observability records.
+
+Parity: ``SolverStats``/``ProfileData`` (/root/reference/src/types.rs:88-251),
+``PerformanceMonitor`` (/root/reference/src/core/utils.ts:173-218), the
+bandwidth/ops counters (/root/reference/src/matrix/optimized.rs:373-394), in
+the TPU-native form SURVEY.md §5.5 prescribes:
+{method, n, nnz, iters, residual, wall, nnz/s, chips}.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from typing import Optional
+
+
+@dataclasses.dataclass
+class SolveRecord:
+    method: str
+    n: int
+    nnz: int
+    iterations: int
+    residual: float
+    converged: bool
+    wall_ms: float
+    nnz_per_second: float
+    matvec_count: int
+    backend: str
+    chips: int
+    timestamp: float
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+
+def record_solve(matrix, result, matvec_count: Optional[int] = None) -> SolveRecord:
+    import jax
+
+    mv = matvec_count if matvec_count is not None else max(result.iterations, 1)
+    secs = max(result.compute_time_ms / 1e3, 1e-12)
+    return SolveRecord(
+        method=result.method,
+        n=matrix.shape[0],
+        nnz=matrix.nnz,
+        iterations=result.iterations,
+        residual=result.residual,
+        converged=result.converged,
+        wall_ms=result.compute_time_ms,
+        nnz_per_second=matrix.nnz * mv / secs,
+        matvec_count=mv,
+        backend=jax.default_backend(),
+        chips=jax.device_count(),
+        timestamp=time.time(),
+    )
+
+
+class ProfileLog:
+    """Append-only JSONL log of SolveRecords (observability sink)."""
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path
+        self.records: list[SolveRecord] = []
+
+    def add(self, matrix, result, matvec_count: Optional[int] = None) -> SolveRecord:
+        rec = record_solve(matrix, result, matvec_count)
+        self.records.append(rec)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(rec.to_json() + "\n")
+        return rec

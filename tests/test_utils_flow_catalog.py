@@ -1,0 +1,175 @@
+"""Utils (convergence/profiling/checkpoint/complexity), flow workloads,
+matrix catalog fixtures, and matrix IO."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import sublinear_tpu as slt
+from sublinear_tpu.generate import CATALOG_KINDS, catalog_matrix
+from sublinear_tpu.graph.flow import electrical_network, max_flow, min_cost_flow
+from sublinear_tpu.formats.io import load_matrix, load_vector, save_matrix
+from sublinear_tpu.types import DeltaUpdate
+from sublinear_tpu.utils import (
+    ConvergenceChecker,
+    SolverCheckpoint,
+    checkpoint_of,
+    fit_power_law,
+    record_solve,
+    resume,
+    update_rhs,
+    validate_complexity,
+)
+
+
+# ------------------------------------------------------------------ utils
+
+def test_convergence_checker_rate_and_eta():
+    cc = ConvergenceChecker(window=5)
+    for r in [1.0, 0.5, 0.25, 0.125]:
+        info = cc.check(r, 1e-6)
+    assert not info.converged
+    assert abs(info.rate - 0.5) < 1e-6
+    assert info.estimated_iterations_remaining is not None
+    assert not info.stagnated
+    info = cc.check(1e-7, 1e-6)
+    assert info.converged
+
+
+def test_convergence_checker_stagnation():
+    cc = ConvergenceChecker(window=4)
+    for _ in range(6):
+        info = cc.check(0.5, 1e-6)
+    assert info.stagnated
+
+
+def test_profiling_record():
+    A, b = slt.generate("tridiagonal", 64), slt.rhs(64)
+    r = slt.solve(A, b, method="conjugate-gradient")
+    rec = record_solve(A, r, matvec_count=r.iterations + 1)
+    assert rec.n == 64 and rec.nnz == A.nnz
+    assert rec.nnz_per_second > 0
+    doc = json.loads(rec.to_json())
+    assert doc["method"] == "conjugate-gradient"
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    A = slt.Matrix(slt.generate("tridiagonal", 100).csr.add_diagonal(0.5))
+    b = slt.rhs(100, seed=1)
+    partial = slt.solve(A, b, method="jacobi", max_iterations=5, raise_on_fail=False)
+    ckpt = checkpoint_of(partial, b)
+    path = str(tmp_path / "ckpt.npz")
+    ckpt.save(path)
+    loaded = SolverCheckpoint.load(path)
+    result = resume(A, loaded, slt.SolverOptions(epsilon=1e-8), method="conjugate-gradient")
+    assert result.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(result.solution, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_update_rhs_incremental():
+    A = slt.Matrix(slt.generate("tridiagonal", 80).csr.add_diagonal(0.5))
+    b = slt.rhs(80, seed=2)
+    r1 = slt.solve(A, b, method="conjugate-gradient", epsilon=1e-8)
+    delta = DeltaUpdate(indices=np.array([3, 10]), values=np.array([0.05, -0.02]))
+    r2, b_new = update_rhs(A, r1, delta, b, slt.SolverOptions(epsilon=1e-8))
+    assert r2.converged
+    x_ref = np.linalg.solve(A.to_dense(), b_new)
+    np.testing.assert_allclose(r2.solution, x_ref, rtol=1e-3, atol=1e-4)
+    # warm start should need very few extra iterations
+    assert r2.iterations - r1.iterations <= r1.iterations
+
+
+def test_complexity_fit():
+    ns = np.array([100, 200, 400, 800])
+    times = 3e-6 * ns**2
+    fit = fit_power_law(ns, times)
+    assert abs(fit.exponent - 2.0) < 0.05
+    assert fit.r_squared > 0.999
+    out = validate_complexity(ns, times, claimed_exponent=2.0)
+    assert out["withinTolerance"]
+
+
+# ------------------------------------------------------------------ flow
+
+def test_electrical_network_voltage_divider():
+    # 0 --R=1-- 1 --R=1-- 2 ; V0=1, V2=0 -> V1=0.5, current 0.5
+    out = electrical_network(3, [(0, 1), (1, 2)], [1.0, 1.0], {0: 1.0, 2: 0.0})
+    v = out["voltages"]
+    assert abs(v[0] - 1.0) < 1e-3 and abs(v[2]) < 1e-3
+    assert abs(v[1] - 0.5) < 1e-3
+    assert abs(out["edgeCurrents"][0]["current"] - 0.5) < 1e-3
+
+
+def test_max_flow_simple():
+    # diamond: 0->1 (3), 0->2 (2), 1->3 (2), 2->3 (3) => maxflow 4
+    out = max_flow(4, [(0, 1), (0, 2), (1, 3), (2, 3)], [3, 2, 2, 3], 0, 3)
+    assert abs(out["maxFlow"] - 4.0) < 1e-9
+
+
+def test_min_cost_flow_balances():
+    out = min_cost_flow(3, [(0, 1), (1, 2), (0, 2)], [1.0, 1.0, 2.0], {0: 1.0, 2: -1.0})
+    assert out["convergenceInfo"]["converged"]
+    # net flow out of node 0 equals supply
+    net0 = sum(f["flow"] for f in out["flows"] if f["edge"][0] == 0) - sum(
+        f["flow"] for f in out["flows"] if f["edge"][1] == 0
+    )
+    assert abs(net0 - 1.0) < 1e-3
+
+
+# ------------------------------------------------------------------ catalog
+
+@pytest.mark.parametrize("kind", CATALOG_KINDS)
+def test_catalog_kinds_solvable(kind):
+    n = 64
+    A = catalog_matrix(kind, n, seed=1)
+    assert A.shape == (n, n)
+    b = slt.rhs(n, seed=1)
+    a = slt.analyze(A)
+    eps = 1e-6 if kind != "spd_ill" else 1e-3
+    method = "conjugate-gradient"
+    r = slt.solve(A, b, method=method, epsilon=eps, max_iterations=20000, raise_on_fail=False)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    if kind == "spd_ill":
+        # kappa ~ 1e6 in f32: check residual-level agreement only
+        assert r.residual / np.linalg.norm(b) < 1e-2
+    else:
+        assert r.converged, f"{kind}: residual {r.residual}"
+        np.testing.assert_allclose(r.solution, x_ref, rtol=5e-3, atol=1e-3)
+
+
+def test_catalog_dd_flags():
+    a_sym = slt.analyze(catalog_matrix("dd_symmetric", 50))
+    assert a_sym.is_diagonally_dominant and a_sym.is_symmetric
+    a_asym = slt.analyze(catalog_matrix("dd_asymmetric", 50))
+    assert a_asym.is_diagonally_dominant and not a_asym.is_symmetric
+    a_band = slt.analyze(catalog_matrix("banded", 50))
+    assert a_band.bandwidth <= 3
+
+
+# ------------------------------------------------------------------ io
+
+def test_matrix_market_roundtrip(tmp_path):
+    A = slt.generate("random-sparse", 20, seed=3, density=0.2)
+    p = str(tmp_path / "a.mtx")
+    save_matrix(A, p)
+    B = load_matrix(p)
+    np.testing.assert_allclose(B.to_dense(), A.to_dense(), rtol=1e-12)
+
+
+def test_csv_roundtrip(tmp_path):
+    A = slt.generate("tridiagonal", 8)
+    p = str(tmp_path / "a.csv")
+    save_matrix(A, p)
+    B = load_matrix(p)
+    np.testing.assert_allclose(B.to_dense(), A.to_dense(), atol=1e-12)
+
+
+def test_symmetric_mtx_expansion(tmp_path):
+    p = tmp_path / "s.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real symmetric\n3 3 3\n1 1 2.0\n2 1 -1.0\n3 3 5.0\n")
+    M = load_matrix(str(p))
+    dense = M.to_dense()
+    assert dense[0, 1] == dense[1, 0] == -1.0
+    assert dense[2, 2] == 5.0
