@@ -9,13 +9,14 @@ vs_baseline compares against the reference's best published number for this
 config (Rust-WASM 0.63 ms, /root/reference/README.md:357-359); > 1.0 means we
 are faster than the reference.
 
-Measurement method: REPS independent solves (RHS varied per repetition so XLA
-cannot CSE them) run inside ONE jitted lax.scan; wall time of that program
-divided by REPS is the per-solve device time.  This excludes the per-dispatch
-RPC overhead of the development tunnel (~100 ms/dispatch), which is a harness
-artifact, not solver time; the scan program itself is exactly REPS full
-back-to-back solves on device.  Extra diagnostics go to stderr; stdout is the
-single JSON line.
+Timing protocol (the dev tunnel requires care):
+  - REPS independent solves (RHS varied per repetition so nothing can be
+    cached/CSE'd) run inside ONE jitted lax.scan;
+  - synchronization is a host fetch of a scalar that depends on every solve
+    (block_until_ready does NOT guarantee completion through the tunnel);
+  - the measured wall subtracts the round-trip floor (timed on a trivial
+    program) and divides by REPS.
+Extra diagnostics go to stderr; stdout is the single JSON line.
 """
 import json
 import sys
@@ -26,7 +27,7 @@ import numpy as np
 N = 1000
 DENSITY = 0.001
 EPSILON = 1e-6
-REPS = 32
+REPS = 1024
 BASELINE_MS = 0.63  # Rust-WASM, reference README.md:359
 
 
@@ -46,7 +47,8 @@ def main():
     threshold = sbase.threshold_for(b, slt.SolverOptions(epsilon=EPSILON))
     print(f"setup {1e3 * (time.perf_counter() - t_setup):.0f}ms nnz={A.nnz}", file=sys.stderr)
 
-    scales = jnp.linspace(0.5, 2.0, REPS).astype(op.dtype)
+    scales_np = np.linspace(0.5, 2.0, REPS)
+    scales = jnp.asarray(scales_np, op.dtype)
 
     @jax.jit
     def run_many(op, b_pad, scales):
@@ -54,36 +56,53 @@ def main():
             x, k, res = _neumann_run(
                 op, b_pad * scale, jnp.zeros_like(b_pad), threshold * scale, jnp.int32(1000), 5
             )
-            return carry, (k, res, x[0])
+            return carry + x[0], (k, res)
 
-        _, (ks, ress, probes) = jax.lax.scan(one, 0, scales)
-        return ks, ress, probes
+        probe, (ks, ress) = jax.lax.scan(one, jnp.asarray(0.0, op.dtype), scales)
+        return probe, ks, ress
+
+    @jax.jit
+    def trivial(x):
+        return x[0] + 1.0
+
+    def sync_run(fn, *args):
+        """Execute and block on a real host fetch of a dependent scalar."""
+        out = fn(*args)
+        float(np.asarray(jax.device_get(out[0] if isinstance(out, tuple) else out)))
+        return out
 
     # compile + warmup
     t0 = time.perf_counter()
-    out = run_many(op, b_pad, scales)
-    jax.block_until_ready(out)
+    out = sync_run(run_many, op, b_pad, scales)
     print(f"compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # round-trip floor
+    float(trivial(b_pad))
+    floors = []
+    for rep in range(5):
+        t0 = time.perf_counter()
+        float(trivial(b_pad * (1.0 + 0.001 * rep)))
+        floors.append(time.perf_counter() - t0)
+    floor = min(floors)
+    print(f"rpc floor {floor * 1e3:.2f}ms", file=sys.stderr)
 
     times = []
     for rep in range(3):
-        # unique inputs per run: the dev tunnel may cache identical executions
         sc = scales * (1.0 + 0.01 * (rep + 1))
         t0 = time.perf_counter()
-        out = run_many(op, b_pad, sc)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / REPS * 1e3)
+        out = sync_run(run_many, op, b_pad, sc)
+        times.append(max(time.perf_counter() - t0 - floor, 1e-9) / REPS * 1e3)
     per_solve_ms = min(times)
 
-    ks, ress, _ = out
-    ks = np.asarray(ks)
-    ress = np.asarray(ress)
+    _, ks, ress = out
+    ks = np.asarray(jax.device_get(ks))
+    ress = np.asarray(jax.device_get(ress))
     # correctness gate: every repetition must actually converge
-    # margin covers the per-run 1% input perturbation above
-    ok = bool(np.all(ress <= np.asarray(threshold) * np.linspace(0.5, 2.0, REPS) * 1.05))
+    # (margin covers the per-run input perturbation above)
+    ok = bool(np.all(ress <= np.asarray(threshold) * scales_np * 1.05))
     print(
         f"iters={ks.min()}..{ks.max()} max_res={ress.max():.2e} converged={ok} "
-        f"per_solve={per_solve_ms:.3f}ms (runs: {[f'{t:.3f}' for t in times]})",
+        f"per_solve={per_solve_ms:.4f}ms (runs: {[f'{t:.4f}' for t in times]})",
         file=sys.stderr,
     )
     if not ok:

@@ -58,6 +58,9 @@ class MatrixAnalysis:
 
 
 def analyze(matrix: Matrix, estimate_condition: bool = True) -> MatrixAnalysis:
+    cached = getattr(matrix, "_analysis_cache", None)
+    if cached is not None and (cached.condition_estimate is not None or not estimate_condition):
+        return cached
     csr = matrix.csr
     n, m = csr.shape
     diag = csr.diagonal_vector()
@@ -116,6 +119,7 @@ def analyze(matrix: Matrix, estimate_condition: bool = True) -> MatrixAnalysis:
     analysis.recommended_method = _recommend(analysis)
     analysis.complexity_estimate = _complexity(analysis)
     analysis.memory_estimate = _memory(analysis)
+    matrix._analysis_cache = analysis
     return analysis
 
 

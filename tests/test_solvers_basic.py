@@ -126,3 +126,24 @@ def test_analysis_symmetric():
     a = slt.analyze(A)
     assert a.is_symmetric
     assert a.bandwidth == 1
+
+
+def test_iterative_refinement_beats_f32_floor():
+    """Mixed-precision refinement reaches residuals plain f32 cannot."""
+    from sublinear_tpu.solvers.refine import solve_refined
+
+    A, b, x_ref = make_dd_system(n=96, density=0.08, seed=31)
+    r = solve_refined(A, b, slt.SolverOptions(epsilon=1e-10), method="bicgstab")
+    assert r.converged, f"residual {r.residual}"
+    rel = np.linalg.norm(A.to_dense() @ r.solution - b) / np.linalg.norm(b)
+    assert rel < 1e-9  # far below the ~2e-7 f32 floor
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-8, atol=1e-9)
+
+
+def test_refinement_absolute_mode():
+    from sublinear_tpu.solvers.refine import solve_refined
+
+    A, b, _ = make_dd_system(n=64, density=0.1, seed=32)
+    r = solve_refined(A, 1e3 * b, slt.SolverOptions(epsilon=1e-5, convergence="absolute"))
+    assert r.converged
+    assert np.linalg.norm(A.to_dense() @ r.solution - 1e3 * b) < 1.1e-5
