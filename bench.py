@@ -27,7 +27,7 @@ import numpy as np
 N = 1000
 DENSITY = 0.001
 EPSILON = 1e-6
-REPS = 1024
+REPS = 256
 BASELINE_MS = 0.63  # Rust-WASM, reference README.md:359
 
 

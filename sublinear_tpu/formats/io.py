@@ -87,6 +87,41 @@ def read_csv(path: str) -> Matrix:
     return Matrix.from_dense(dense)
 
 
+def read_gml(path: str) -> Matrix:
+    """Minimal GML graph reader -> adjacency matrix.
+
+    Parity: the social-network fixtures are .gml files
+    (/root/reference/scripts/social_networks/*.gml).  Supports node/edge
+    blocks with id/source/target/value(weight) keys."""
+    import re
+
+    text = open(path).read()
+    node_ids = [int(m) for m in re.findall(r"node\s*\[[^\]]*?\bid\s+(-?\d+)", text, re.S)]
+    edges = re.findall(
+        r"edge\s*\[([^\]]*)\]", text, re.S
+    )
+    id_map = {nid: i for i, nid in enumerate(sorted(set(node_ids)))}
+    rows, cols, vals = [], [], []
+    for body in edges:
+        src = re.search(r"\bsource\s+(-?\d+)", body)
+        tgt = re.search(r"\btarget\s+(-?\d+)", body)
+        w = re.search(r"\b(?:value|weight)\s+([-\d.eE]+)", body)
+        if not src or not tgt:
+            continue
+        s, t = int(src.group(1)), int(tgt.group(1))
+        if s not in id_map or t not in id_map:
+            continue
+        rows.append(id_map[s])
+        cols.append(id_map[t])
+        vals.append(float(w.group(1)) if w else 1.0)
+    n = len(id_map)
+    directed = re.search(r"\bdirected\s+1\b", text) is not None
+    if not directed:
+        rows, cols = rows + cols, cols + rows
+        vals = vals + vals
+    return Matrix.from_coo(rows, cols, vals, (n, n))
+
+
 def load_vector(path: str) -> np.ndarray:
     p = str(path)
     if p.endswith(".csv"):

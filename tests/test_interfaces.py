@@ -25,6 +25,13 @@ def _env():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # The parent pytest process holds the TPU-relay claim (sitecustomize
+    # registers at interpreter start); a child that also tries to register
+    # blocks ~2 minutes waiting for the grant.  Strip the trigger vars so
+    # CPU-only subprocesses never touch the relay.
+    for k in list(env):
+        if k.startswith(("PALLAS_AXON", "AXON_")):
+            env.pop(k)
     return env
 
 

@@ -173,3 +173,25 @@ def test_symmetric_mtx_expansion(tmp_path):
     dense = M.to_dense()
     assert dense[0, 1] == dense[1, 0] == -1.0
     assert dense[2, 2] == 5.0
+
+
+def test_gml_reader(tmp_path):
+    from sublinear_tpu.formats.io import read_gml
+
+    gml = """
+graph [
+  directed 0
+  node [ id 0 label "a" ]
+  node [ id 1 label "b" ]
+  node [ id 2 label "c" ]
+  edge [ source 0 target 1 value 2.5 ]
+  edge [ source 1 target 2 ]
+]
+"""
+    p = tmp_path / "g.gml"
+    p.write_text(gml)
+    A = read_gml(str(p))
+    assert A.shape == (3, 3)
+    dense = A.to_dense()
+    assert dense[0, 1] == dense[1, 0] == 2.5
+    assert dense[1, 2] == dense[2, 1] == 1.0
