@@ -1,0 +1,80 @@
+"""Multi-device scaling study for the distributed CG path.
+
+North-star metric (BASELINE.json): 1 -> N device scaling efficiency.  Without
+multi-chip hardware this runs on N virtual CPU devices (the same programs the
+driver dry-runs via __graft_entry__.dryrun_multichip); on a real pod slice the
+identical code path scales over ICI.
+
+Weak scaling: problem rows grow with the device count; efficiency =
+t(1 device, n0) / t(N devices, N*n0), normalized per iteration.
+
+CAVEAT on virtual CPU devices: all N "devices" are threads sharing one
+host's memory bandwidth, so weak-scaling efficiency measured here is a
+LOWER BOUND dominated by host-bandwidth saturation, not by the collective
+schedule; on a real slice each chip brings its own HBM and the same program
+communicates one all_gather per iteration over ICI.
+
+Usage: python bench_scaling.py [--devices 8] [--rows-per-device 50000]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--rows-per-device", type=int, default=50_000)
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", args.platform)
+
+    import numpy as np
+
+    import sublinear_tpu as slt
+    from sublinear_tpu.parallel.mesh import make_mesh
+    from sublinear_tpu.parallel.sharded import solve_cg_sharded
+
+    def run(n_devices: int, n_rows: int) -> float:
+        mesh = make_mesh(jax.devices()[:n_devices], shape=(n_devices, 1))
+        A = slt.Matrix(slt.generate("tridiagonal", n_rows).csr.add_diagonal(0.5))
+        b = slt.rhs(n_rows, seed=1)
+        opts = slt.SolverOptions(epsilon=1e-5, max_iterations=300)
+        r = solve_cg_sharded(A, b, mesh=mesh, mode="explicit", options=opts)  # compile
+        assert r.converged
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = solve_cg_sharded(A, b, mesh=mesh, mode="explicit", options=opts)
+            times.append(time.perf_counter() - t0)
+        return min(times), r.iterations
+
+    n0 = args.rows_per_device
+    results = []
+    t1, it1 = run(1, n0)
+    results.append({"devices": 1, "rows": n0, "seconds": t1, "iterations": it1, "efficiency": 1.0})
+    d = 2
+    while d <= args.devices:
+        td, itd = run(d, n0 * d)
+        # weak scaling: same per-device work; ideal time stays t1 (iterations
+        # may differ as the problem grows — normalize per iteration)
+        eff = (t1 / max(it1, 1)) / (td / max(itd, 1))
+        results.append({"devices": d, "rows": n0 * d, "seconds": td, "iterations": itd,
+                        "efficiency": round(eff, 3)})
+        d *= 2
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

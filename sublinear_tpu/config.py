@@ -37,9 +37,11 @@ def resolve_dtype(dtype):
 LANE = 128
 SUBLANE = 8
 
-# Below this size a dense MXU matvec beats any sparse path on TPU
-# (an n x n f32 matmul-vector at n=2048 is ~16MB of HBM traffic, microseconds).
-DENSE_THRESHOLD = int(os.environ.get("SLT_DENSE_THRESHOLD", "2048"))
+# Below this size a dense MXU matvec beats any sparse path on TPU: the
+# gather engine costs ~16 cycles/element while a dense n x n f32 matvec is
+# pure HBM streaming (64 MB -> ~80 us at n=4096).  Crossover vs ELL gather
+# sits well above 4k rows for typical densities.
+DENSE_THRESHOLD = int(os.environ.get("SLT_DENSE_THRESHOLD", "4096"))
 
 
 def round_up(x: int, m: int) -> int:

@@ -2,22 +2,28 @@
 
 Motivation (ARCHITECTURE.md): XLA's TPU gather costs ~16 cycles per element,
 making single-RHS large-n SpMV slower than a SIMD CPU.  This kernel re-routes
-both the gather AND the scatter through the MXU: entries are tiled by
-(row-block, col-block); inside a tile the column gather becomes
+both the gather AND the scatter through the MXU.  Entries are tiled by
+(row-block, col-block); inside a tile the gather+multiply is one matmul with
+a transposed *valued* one-hot,
 
-    G = onehot(lcol) @ X_block        (T, C) @ (C, B)   bf16 -> f32
+    W[c, t] = vals[t] * (lcol[t] == c)          (C, T)  bf16, built on VPU
+    P       = W^T-contract X_block              (T, B) = dot(W, X; contract C)
 
-and the row scatter becomes
+and the row scatter is a second one-hot matmul
 
-    OUT_block += onehot(lrow)^T @ (vals * G)    (R, T) @ (T, B)
+    OUT    += OH_r @ P,   OH_r[r, t] = (lrow[t] == r)    (R, T) @ (T, B).
 
-with the one-hot masks generated on the fly on the VPU (~C/1024 cycles per
-entry) and amortized over all B RHS columns.  Tiles are routed by
-scalar-prefetched (row-block, col-block) ids; consecutive tiles share the
-same output block, which is zeroed on first visit and accumulated in VMEM.
+Mosaic layout notes (learned the hard way):
+  - entry vectors live on the LANE axis as (1, 1, T) blocks; every one-hot is
+    built by broadcasting them along SUBLANES (no lane->sublane relayout,
+    no reshapes — Mosaic rejects (8,128)->(1024,) shape casts);
+  - the tile block shape (1, 1, T) satisfies the (8, 128) tiling rule because
+    leading 1s match the array dims and T is a multiple of 128.
 
-Host-side packing: build_tiles() — entries sorted by (rb, cb), padded to
-T-entry tiles (pad entries carry val=0 at local index 0).
+Tiles are routed by scalar-prefetched (row-block, col-block) ids; consecutive
+tiles share the same output block, zeroed on first visit and accumulated in
+VMEM.  Host-side packing: build_tiles() — entries sorted by (rb, cb), padded
+to T-entry tiles (pad entries carry val=0).
 """
 from __future__ import annotations
 
@@ -34,18 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import round_up
 from ..formats.csr import CSR
 
-# Mosaic block constraint: tile entry arrays are stored (n_tiles, 8, T//8)
-# with T//8 a multiple of 128, so T must be a multiple of 1024.
 TILE_R = 1024
 TILE_C = 1024
-TILE_T = 1024
+TILE_T = 512  # entries per tile; any multiple of 128
 
 
 @dataclasses.dataclass
 class OneHotTiles:
-    vals: jax.Array      # (n_tiles, 8, T//8) f32
-    lrow: jax.Array      # (n_tiles, 8, T//8) i32 in [0, R)
-    lcol: jax.Array      # (n_tiles, 8, T//8) i32 in [0, C)
+    vals: jax.Array      # (n_tiles, 1, T) f32
+    lrow: jax.Array      # (n_tiles, 1, T) i32 in [0, R)
+    lcol: jax.Array      # (n_tiles, 1, T) i32 in [0, C)
     tile_rb: jax.Array   # (n_tiles,) i32
     tile_cb: jax.Array   # (n_tiles,) i32
     tile_first: jax.Array  # (n_tiles,) i32: 1 when first tile of its rb
@@ -84,11 +88,9 @@ def build_tiles(csr: CSR, R: int = TILE_R, C: int = TILE_C, T: int = TILE_T) -> 
     if key.size:
         new_block[0] = True
         new_block[1:] = key[1:] != key[:-1]
-    # position within block
     block_start = np.maximum.accumulate(np.where(new_block, np.arange(key.size), 0))
     pos_in_block = np.arange(key.size) - block_start
     tile_of_entry_in_block = pos_in_block // T
-    # unique tile key
     tile_key = key * 100_000 + tile_of_entry_in_block
     uniq, tile_idx = np.unique(tile_key, return_inverse=True)
     n_tiles = max(uniq.size, 1)
@@ -100,25 +102,21 @@ def build_tiles(csr: CSR, R: int = TILE_R, C: int = TILE_C, T: int = TILE_T) -> 
     tvals[tile_idx, slot] = vals
     tlrow[tile_idx, slot] = (rows % R).astype(np.int32)
     tlcol[tile_idx, slot] = (cols % C).astype(np.int32)
-    # Mosaic-friendly 3D layout
-    tvals = tvals.reshape(n_tiles, 8, T // 8)
-    tlrow = tlrow.reshape(n_tiles, 8, T // 8)
-    tlcol = tlcol.reshape(n_tiles, 8, T // 8)
 
     t_rb = np.zeros(n_tiles, dtype=np.int32)
     t_cb = np.zeros(n_tiles, dtype=np.int32)
     t_rb[tile_idx] = rb.astype(np.int32)
     t_cb[tile_idx] = cb.astype(np.int32)
-    # tiles from np.unique are sorted by tile_key = (rb-major) — required for
+    # tiles from np.unique are sorted by tile_key (rb-major) — required for
     # in-VMEM output accumulation
     first = np.empty(n_tiles, dtype=np.int32)
     first[0] = 1
     first[1:] = (t_rb[1:] != t_rb[:-1]).astype(np.int32)
 
     return OneHotTiles(
-        vals=jnp.asarray(tvals, jnp.float32),
-        lrow=jnp.asarray(tlrow),
-        lcol=jnp.asarray(tlcol),
+        vals=jnp.asarray(tvals[:, None, :], jnp.float32),
+        lrow=jnp.asarray(tlrow[:, None, :]),
+        lcol=jnp.asarray(tlcol[:, None, :]),
         tile_rb=jnp.asarray(t_rb),
         tile_cb=jnp.asarray(t_cb),
         tile_first=jnp.asarray(first),
@@ -136,19 +134,27 @@ def _spmm_kernel(rb_ref, cb_ref, first_ref, vals_ref, lrow_ref, lcol_ref, x_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    T = lcol_ref.shape[1] * lcol_ref.shape[2]
-    lcol = lcol_ref[0].reshape(T)
-    lrow = lrow_ref[0].reshape(T)
-    vals = vals_ref[0].reshape(T)
+    lcol = lcol_ref[0]  # (1, T) — lane-resident
+    lrow = lrow_ref[0]
+    vals = vals_ref[0]
+    T = lcol.shape[-1]
     C = x_ref.shape[0]
     R = out_ref.shape[0]
 
-    ohc = (lcol[:, None] == jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)).astype(jnp.bfloat16)
-    g = jnp.dot(ohc, x_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-    p = vals[:, None] * g
-    ohr = (lrow[:, None] == jax.lax.broadcasted_iota(jnp.int32, (T, R), 1)).astype(jnp.bfloat16)
+    # valued one-hot, transposed: W[c, t] = vals[t] * (lcol[t] == c)
+    iota_ct = jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)
+    w = jnp.where(iota_ct == lcol, vals, 0.0).astype(jnp.bfloat16)
+    # P = sum_c W[c, t] X[c, b]  ->  (T, B)
+    p = jax.lax.dot_general(
+        w, x_ref[:].astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # scatter: OUT[r, b] += sum_t (lrow[t] == r) P[t, b]
+    iota_rt = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+    ohr = (iota_rt == lrow).astype(jnp.bfloat16)
     out_ref[:] += jax.lax.dot_general(
-        ohr, p.astype(jnp.bfloat16), (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ohr, p.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -163,9 +169,9 @@ def onehot_spmm(tiles: OneHotTiles, X: jax.Array) -> jax.Array:
         num_scalar_prefetch=3,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 8, T // 8), lambda i, rb, cb, first: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, T // 8), lambda i, rb, cb, first: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, T // 8), lambda i, rb, cb, first: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda i, rb, cb, first: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda i, rb, cb, first: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T), lambda i, rb, cb, first: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, B), lambda i, rb, cb, first: (cb[i], 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, B), lambda i, rb, cb, first: (rb[i], 0), memory_space=pltpu.VMEM),

@@ -25,11 +25,43 @@ from ..types import SolverOptions, SolverResult, SolverStats
 HUGE_RES = 1e30
 
 
+def norm_mode_of(options: SolverOptions) -> str:
+    """Map ConvergenceMode (reference: src/types.rs:10-34) to a norm tag."""
+    from ..types import ConvergenceMode
+
+    mode = options.convergence_mode
+    if mode in (ConvergenceMode.L1_RESIDUAL,):
+        return "l1"
+    if mode in (ConvergenceMode.MAX_RESIDUAL,):
+        return "max"
+    return "l2"  # L2, RELATIVE_CHANGE and COMBINED check the l2 residual
+
+
+def device_norm(v, mode: str):
+    import jax.numpy as jnp
+
+    if mode == "l1":
+        return jnp.sum(jnp.abs(v))
+    if mode == "max":
+        return jnp.max(jnp.abs(v))
+    return jnp.linalg.norm(v)
+
+
+def host_norm(v, mode: str) -> float:
+    v = np.asarray(v, dtype=np.float64)
+    if mode == "l1":
+        return float(np.abs(v).sum())
+    if mode == "max":
+        return float(np.abs(v).max()) if v.size else 0.0
+    return float(np.linalg.norm(v))
+
+
 def threshold_for(b: np.ndarray, options: SolverOptions) -> float:
-    """Absolute l2 threshold implementing relative/absolute convergence."""
+    """Absolute threshold (in the configured norm) implementing
+    relative/absolute convergence."""
     if options.convergence == "absolute":
         return float(options.epsilon)
-    nb = float(np.linalg.norm(np.asarray(b, dtype=np.float64)))
+    nb = host_norm(b, norm_mode_of(options))
     return float(options.epsilon) * max(nb, 1e-30)
 
 

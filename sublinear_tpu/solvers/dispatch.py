@@ -96,6 +96,9 @@ def solve(
                 {"dominanceStrength": a.dominance_strength},
             )
 
+    if options.timeout is not None:
+        return _solve_with_timeout(matrix, b, options, m, raise_on_fail)
+
     from . import cg as _cg
     from . import jacobi as _jacobi
     from . import neumann as _neumann
@@ -137,3 +140,43 @@ def solve(
     from ..errors import InvalidParametersError
 
     raise InvalidParametersError(f"Unknown method: {m}")
+
+
+def _solve_with_timeout(matrix, b, options, m, raise_on_fail):
+    """Wall-clock timeout enforcement (reference: TimeoutController,
+    src/core/utils.ts:293, error E004).  The device while_loop cannot be
+    interrupted, so the solve runs in warm-restarted chunks with a host
+    deadline check between chunks."""
+    import dataclasses
+    import time
+
+    from ..errors import TimeoutError_
+
+    deadline = time.perf_counter() + float(options.timeout)
+    chunk = max(options.check_every * 10, 50)
+    x = options.x0
+    total = 0
+    result = None
+    while total < options.max_iterations:
+        step_opts = dataclasses.replace(
+            options, timeout=None,
+            max_iterations=min(chunk, options.max_iterations - total), x0=x,
+        )
+        result = solve(matrix, b, step_opts, method=m, raise_on_fail=False)
+        total += max(result.iterations, 1)
+        x = result.solution
+        if result.converged:
+            break
+        if time.perf_counter() > deadline:
+            if raise_on_fail:
+                raise TimeoutError_(
+                    f"Solve exceeded timeout of {options.timeout}s after {total} iterations",
+                    {"iterations": total, "residual": result.residual},
+                )
+            break
+    result.iterations = total
+    threshold = None
+    from . import base
+
+    threshold = base.threshold_for(b, options)
+    return base.check_outcome(result, threshold, options, raise_on_fail)

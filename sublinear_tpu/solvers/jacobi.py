@@ -24,15 +24,15 @@ from ..types import SolverOptions, SolverResult
 from . import base
 
 
-@functools.partial(jax.jit, static_argnames=("check_every",))
-def _jacobi_run(op, b, x0, threshold, max_iters, check_every):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
+def _jacobi_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
     inv_d = op.inv_diag
 
     def step(x):
         return inv_d * (b - op.offdiag_matvec(x))
 
     def residual_of(x):
-        return jnp.linalg.norm(op.matvec(x) - b)
+        return base.device_norm(op.matvec(x) - b, norm_mode)
 
     state, k, res = base.while_iterate(
         base.repeat_steps(step, check_every), residual_of, x0, threshold, max_iters, check_every
@@ -107,7 +107,7 @@ def _prepare(matrix: Matrix, b, options: SolverOptions):
 def solve_jacobi(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:
     op, b_pad, x0, threshold = _prepare(matrix, b, options)
     with base.SolveTimer() as t:
-        x, k, res = _jacobi_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every)
+        x, k, res = _jacobi_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every, base.norm_mode_of(options))
         jax.block_until_ready(x)
     result = base.finalize(matrix, x, k, res, "jacobi", options, t.ms, matvec_count=int(jax.device_get(k)))
     return base.check_outcome(result, threshold, options, raise_on_fail)

@@ -28,8 +28,8 @@ from ..types import SolverOptions, SolverResult
 from . import base
 
 
-@functools.partial(jax.jit, static_argnames=("check_every",))
-def _neumann_run(op, b, x0, threshold, max_iters, check_every):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
+def _neumann_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
     inv_d = op.inv_diag
     r0 = b - op.matvec(x0)
     term0 = inv_d * r0
@@ -41,7 +41,7 @@ def _neumann_run(op, b, x0, threshold, max_iters, check_every):
 
     def residual_of(state):
         x, _ = state
-        return jnp.linalg.norm(op.matvec(x) - b)
+        return base.device_norm(op.matvec(x) - b, norm_mode)
 
     state0 = (x0 + term0, term0)
     (state, k, res) = base.while_iterate(
@@ -62,7 +62,8 @@ def solve_neumann(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool
 
     with base.SolveTimer() as t:
         x, k, res = _neumann_run(
-            op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every
+            op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every,
+            base.norm_mode_of(options),
         )
         jax.block_until_ready(x)
     result = base.finalize(

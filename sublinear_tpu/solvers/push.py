@@ -40,8 +40,8 @@ from . import base
 FRONTIER_ETA = 0.1
 
 
-@functools.partial(jax.jit, static_argnames=("check_every",))
-def _push_run(op, b, x0, threshold, max_iters, check_every):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
+def _push_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
     inv_d = op.inv_diag
 
     def sweep(state):
@@ -56,7 +56,7 @@ def _push_run(op, b, x0, threshold, max_iters, check_every):
 
     def residual_of(state):
         _, r = state
-        return jnp.linalg.norm(r)
+        return base.device_norm(r, norm_mode)
 
     r0 = b - op.matvec(x0)
     state, k, res = base.while_iterate(
@@ -87,7 +87,7 @@ def solve_push(
         with base.SolveTimer() as t:
             x, k, res = _push_run(
                 op, b_pad, x0, threshold, jnp.int32(max(options.max_iterations // 4, 8)),
-                options.check_every,
+                options.check_every, base.norm_mode_of(options),
             )
             jax.block_until_ready(x)
         import dataclasses
@@ -105,7 +105,8 @@ def solve_push(
 
     with base.SolveTimer() as t:
         x, k, res = _push_run(
-            op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every
+            op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every,
+            base.norm_mode_of(options),
         )
         jax.block_until_ready(x)
     result = base.finalize(

@@ -147,3 +147,38 @@ def test_refinement_absolute_mode():
     r = solve_refined(A, 1e3 * b, slt.SolverOptions(epsilon=1e-5, convergence="absolute"))
     assert r.converged
     assert np.linalg.norm(A.to_dense() @ r.solution - 1e3 * b) < 1.1e-5
+
+
+@pytest.mark.parametrize("mode", ["l1", "max", "l2"])
+def test_convergence_norm_modes(mode):
+    """ConvergenceMode parity (reference: src/types.rs:10-34)."""
+    from sublinear_tpu.types import ConvergenceMode
+
+    cm = {"l1": ConvergenceMode.L1_RESIDUAL, "max": ConvergenceMode.MAX_RESIDUAL,
+          "l2": ConvergenceMode.L2_RESIDUAL}[mode]
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=41)
+    r = slt.solve(A, b, method="neumann", epsilon=1e-6,
+                  convergence_mode=cm)
+    assert r.converged
+    res = A.to_dense() @ r.solution - b
+    norm = {"l1": np.abs(res).sum(), "max": np.abs(res).max(),
+            "l2": np.linalg.norm(res)}[mode]
+    bnorm = {"l1": np.abs(b).sum(), "max": np.abs(b).max(), "l2": np.linalg.norm(b)}[mode]
+    assert norm <= 1.1e-6 * bnorm * 10
+
+
+def test_timeout_enforced():
+    """E004 parity: timeout aborts between warm-restarted chunks."""
+    A, b, _ = make_dd_system(n=64, density=0.1, seed=51)
+    with pytest.raises(slt.SolverError) as ei:
+        # impossible tolerance + zero time budget
+        slt.solve(A, b, method="jacobi", epsilon=1e-30, timeout=0.0,
+                  max_iterations=100000, convergence="absolute")
+    assert ei.value.code == "E004"
+
+
+def test_timeout_generous_converges():
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=52)
+    r = slt.solve(A, b, method="conjugate-gradient", epsilon=1e-6, timeout=60.0)
+    assert r.converged
+    np.testing.assert_allclose(r.solution, x_ref, rtol=2e-4, atol=1e-4)
