@@ -25,7 +25,7 @@ from .csr import CSR
 class EllOperator:
     """Slot-major ELL + COO-tail sparse operator in the padded domain."""
 
-    def __init__(self, values, cols, tail_vals, tail_rows, tail_cols, diag, inv_diag, *, shape, n_pad, m_pad):
+    def __init__(self, values, cols, tail_vals, tail_rows, tail_cols, diag, inv_diag, *, shape, n_pad, m_pad, gather_aux=None):
         self.values = values        # (K, n_pad)
         self.cols = cols            # (K, n_pad) int32 into padded column domain
         self.tail_vals = tail_vals  # (T,)
@@ -36,18 +36,21 @@ class EllOperator:
         self.shape = shape          # logical (n, m)
         self.n_pad = n_pad
         self.m_pad = m_pad
+        # (m_pad, 7) junk columns enabling the wide row-gather matvec (see
+        # ops/spmv.ell_matvec_wide); None below the gather-volume threshold
+        self.gather_aux = gather_aux
 
     # pytree protocol ------------------------------------------------------
     def tree_flatten(self):
         children = (self.values, self.cols, self.tail_vals, self.tail_rows,
-                    self.tail_cols, self.diag, self.inv_diag)
+                    self.tail_cols, self.diag, self.inv_diag, self.gather_aux)
         aux = (self.shape, self.n_pad, self.m_pad)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         shape, n_pad, m_pad = aux
-        return cls(*children, shape=shape, n_pad=n_pad, m_pad=m_pad)
+        return cls(*children[:7], shape=shape, n_pad=n_pad, m_pad=m_pad, gather_aux=children[7])
 
     # properties -----------------------------------------------------------
     @property
@@ -69,7 +72,10 @@ class EllOperator:
 
     # products -------------------------------------------------------------
     def matvec(self, x: jax.Array) -> jax.Array:
-        y = spmv.ell_matvec(self.values, self.cols, x)
+        if self.gather_aux is not None:
+            y = spmv.ell_matvec_wide(self.values, self.cols, x, self.gather_aux)
+        else:
+            y = spmv.ell_matvec(self.values, self.cols, x)
         if self.tail_nnz:
             y = y + spmv.coo_matvec(self.tail_vals, self.tail_rows, self.tail_cols, x, self.n_pad)
         return y
@@ -180,6 +186,12 @@ def ell_from_csr(csr: CSR, dtype=None, slot_cap: int | None = None) -> EllOperat
     t_vals = csr.data[~in_ell]
 
     diag, inv_diag = _diag_arrays(csr, n_pad, dtype)
+    gather_aux = None
+    if K * n_pad >= spmv.WIDE_GATHER_THRESHOLD:
+        # deterministic junk columns for the wide row-gather path
+        gather_aux = jnp.asarray(
+            np.random.default_rng(0).standard_normal((m_pad, 7)), dtype
+        )
     return EllOperator(
         jnp.asarray(values, dtype),
         jnp.asarray(cols),
@@ -191,6 +203,7 @@ def ell_from_csr(csr: CSR, dtype=None, slot_cap: int | None = None) -> EllOperat
         shape=(n, m),
         n_pad=n_pad,
         m_pad=m_pad,
+        gather_aux=gather_aux,
     )
 
 

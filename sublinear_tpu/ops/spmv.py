@@ -35,6 +35,26 @@ def ell_matvec(values: jax.Array, cols: jax.Array, x: jax.Array) -> jax.Array:
     return jnp.einsum("kn,kn->n", values, gathered)
 
 
+# The TPU gather engine costs ~16 ns per index for single-float payloads but
+# only ~5 ns per index when each index fetches a row of >= 8 floats (measured,
+# see ARCHITECTURE.md).  For large gather volumes we therefore embed x as
+# column 0 of an 8-wide container and gather rows; the 7 auxiliary columns
+# carry operator-resident junk weighted by 1e-30 so XLA cannot slice the
+# gather back down to one column.
+WIDE_GATHER_THRESHOLD = 1 << 19  # gather count above which the wide path wins
+
+
+def ell_matvec_wide(values: jax.Array, cols: jax.Array, x: jax.Array, aux: jax.Array) -> jax.Array:
+    """Single-RHS SpMV through an 8-wide row-gather container (~3.6x faster
+    than the narrow gather at large nnz)."""
+    X = jnp.concatenate([x[:, None], aux], axis=1)      # (m_pad, 8)
+    gathered = jnp.take(X, cols, axis=0)                # (K, n_pad, 8)
+    w = jnp.concatenate(
+        [jnp.ones((1,), x.dtype), jnp.full((aux.shape[1],), 1e-30, x.dtype)]
+    )
+    return jnp.einsum("kns,s,kn->n", gathered, w, values)
+
+
 def ell_matmat(values: jax.Array, cols: jax.Array, X: jax.Array) -> jax.Array:
     """Y = A @ X for batched RHS.  X: (m_pad, B) -> (n_pad, B).
 
