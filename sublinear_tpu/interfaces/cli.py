@@ -170,6 +170,46 @@ def cmd_benchmark(args):
     return 0
 
 
+def cmd_help_examples(args):
+    """Usage examples (reference: cli/index.ts:355-402 help-examples)."""
+    print("""sublinear-tpu usage examples
+============================
+
+Generate a 1000x1000 diagonally-dominant test system:
+  sublinear-tpu generate -t random-sparse -s 1000 --params '{"density":0.001}' -o A.json
+
+Solve it (adaptive method selection):
+  sublinear-tpu solve -m A.json -b b.json -o x.json
+
+Solve with a specific method and tolerance:
+  sublinear-tpu solve -m A.json -b b.json --method neumann -e 1e-8
+
+Analyze matrix properties:
+  sublinear-tpu analyze -m A.json --pretty
+
+Verify a solution with random probes:
+  sublinear-tpu verify -m A.json -b b.json -s x.json
+
+PageRank of an adjacency matrix (personalized for nodes 0 and 3):
+  sublinear-tpu pagerank -a graph.json --personalized 0,3
+
+Estimate a single solution entry without a full solve:
+  sublinear-tpu estimate -m A.json -b b.json --row 17 --method random-walk
+
+Convert between matrix formats (JSON / MatrixMarket / CSV):
+  sublinear-tpu convert -i A.json -o A.mtx
+
+Timing sweep over sizes:
+  sublinear-tpu benchmark --sizes 100,1000,10000 --method conjugate-gradient
+
+Run the MCP stdio server (for LLM agents):
+  sublinear-tpu serve-mcp
+
+Run the HTTP streaming server:
+  sublinear-tpu serve --port 3000""")
+    return 0
+
+
 def cmd_convert(args):
     """Matrix format conversion (bin/cli.js convert: JSON/CSV/MatrixMarket)."""
     from ..formats.io import load_matrix, save_matrix
@@ -262,6 +302,9 @@ def build_parser():
     s.add_argument("--method", default="conjugate-gradient")
     s.add_argument("-e", "--epsilon", type=float, default=1e-6)
     s.set_defaults(fn=cmd_benchmark)
+
+    s = sub.add_parser("help-examples", help="show usage examples")
+    s.set_defaults(fn=cmd_help_examples)
 
     s = sub.add_parser("convert", help="convert matrix files (json/csv/mtx)")
     s.add_argument("-i", "--input", required=True)

@@ -91,6 +91,11 @@ class SessionManager:
 
 MANAGER = SessionManager()
 
+# swarm control plane (reference: server/index.js:341-431 swarm endpoints)
+from .swarm import SwarmCoordinator  # noqa: E402
+
+SWARM = SwarmCoordinator()
+
 
 class Handler(BaseHTTPRequestHandler):
     server_version = "sublinear-tpu/0.1"
@@ -143,6 +148,8 @@ class Handler(BaseHTTPRequestHandler):
             if s is None:
                 return self._json(404, {"error": "session not found"})
             return self._json(200, s)
+        if parts == ["api", "v1", "swarm", "status"]:
+            return self._json(200, SWARM.aggregate_costs())
         return self._json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
@@ -159,6 +166,18 @@ class Handler(BaseHTTPRequestHandler):
                 return self._stream_job(job, header_extra={"X-Job-Id": job.id})
             if parts == ["api", "v1", "verify"]:
                 return self._verify(payload)
+            if parts == ["api", "v1", "swarm", "join"]:
+                w = SWARM.register(payload.get("endpoint"), payload.get("capabilities"))
+                return self._json(200, {"workerId": w.id, "swarmId": SWARM.swarm_id})
+            if parts == ["api", "v1", "swarm", "costs"]:
+                SWARM.update_cost(payload["workerId"], float(payload["cost"]),
+                                  payload.get("metadata"))
+                return self._json(200, SWARM.aggregate_costs())
+            if parts == ["api", "v1", "swarm", "heartbeat"]:
+                SWARM.heartbeat(payload["workerId"])
+                return self._json(200, {"ok": True})
+            if parts == ["api", "v1", "swarm", "solve"]:
+                return self._json(200, SWARM.submit(payload))
             return self._json(404, {"error": f"unknown path {self.path}"})
         except Exception as e:
             from ..errors import SolverError

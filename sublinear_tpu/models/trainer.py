@@ -97,6 +97,19 @@ class Trainer:
             self.model.apply(self.state.params, jnp.asarray(np.asarray(window, dtype=np.float32)))
         )
 
+    def save(self, path: str):
+        """Persist parameters (flax msgpack serialization)."""
+        from flax import serialization
+
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.state.params))
+
+    def load(self, path: str):
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            self.state.params = serialization.from_bytes(self.state.params, f.read())
+
 
 def make_windows(series: np.ndarray, window: int, horizon: int = 1):
     """Sliding-window dataset from a 1-D series (data/ loader equivalent)."""

@@ -236,3 +236,44 @@ def test_streaming_solve_generator():
     assert [c.iteration for c in chunks] == sorted(c.iteration for c in chunks)
     x = chunks[-1].solution
     assert np.linalg.norm(A.csr.matvec(x) - b) / np.linalg.norm(b) < 1e-6
+
+
+def test_http_swarm_endpoints(http_server):
+    status, j = _post(http_server + "/api/v1/swarm/join", {"capabilities": {"methods": ["all"]}})
+    assert status == 200 and "workerId" in j
+    wid = j["workerId"]
+    status, c = _post(http_server + "/api/v1/swarm/costs", {"workerId": wid, "cost": 2.5})
+    assert status == 200 and c["workers"] >= 1
+    status, h = _post(http_server + "/api/v1/swarm/heartbeat", {"workerId": wid})
+    assert status == 200 and h["ok"]
+    A = slt.generate("random-sparse", 16, seed=8, density=0.2)
+    b = slt.rhs(16, seed=8)
+    status, s = _post(http_server + "/api/v1/swarm/solve",
+                      {"matrix": A.to_dict(), "vector": b.tolist()})
+    assert status == 200 and s["converged"] is True
+    with urllib.request.urlopen(http_server + "/api/v1/swarm/status", timeout=30) as resp:
+        st = json.loads(resp.read())
+    assert st["workers"] >= 1
+
+
+def test_cli_help_examples():
+    r = run_cli(["help-examples"])
+    assert r.returncode == 0
+    assert "generate" in r.stdout and "serve-mcp" in r.stdout
+
+
+def test_trainer_save_load(tmp_path):
+    import numpy as np
+
+    from sublinear_tpu.models import SystemA, Trainer, make_windows
+
+    series = np.sin(np.arange(120, dtype=np.float32) / 5.0)
+    w, t = make_windows(series, window=8, horizon=1)
+    tr = Trainer(SystemA(hidden=4, horizon=1), window=8, seed=0)
+    tr.fit(w[:64], t[:64], epochs=1, batch_size=32)
+    pred_before = tr.predict(w[0])
+    p = str(tmp_path / "model.msgpack")
+    tr.save(p)
+    tr2 = Trainer(SystemA(hidden=4, horizon=1), window=8, seed=99)
+    tr2.load(p)
+    np.testing.assert_allclose(tr2.predict(w[0]), pred_before, rtol=1e-6)
