@@ -38,10 +38,11 @@ LANE = 128
 SUBLANE = 8
 
 # Below this size a dense MXU matvec beats any sparse path on TPU: the
-# gather engine costs ~16 cycles/element while a dense n x n f32 matvec is
-# pure HBM streaming (64 MB -> ~80 us at n=4096).  Crossover vs ELL gather
-# sits well above 4k rows for typical densities.
-DENSE_THRESHOLD = int(os.environ.get("SLT_DENSE_THRESHOLD", "4096"))
+# gather engine costs ~16ns/element (5ns on the wide path) while a dense
+# n x n f32 matvec is pure HBM streaming (~0.5 ms at n=10k, 400 MB).  The
+# crossover vs ELL gather sits above 10k rows for typical densities; the
+# dense memory cost (4 n^2 bytes) is the real bound.
+DENSE_THRESHOLD = int(os.environ.get("SLT_DENSE_THRESHOLD", "10240"))
 
 
 def round_up(x: int, m: int) -> int:

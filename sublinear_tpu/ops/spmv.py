@@ -41,7 +41,7 @@ def ell_matvec(values: jax.Array, cols: jax.Array, x: jax.Array) -> jax.Array:
 # column 0 of an 8-wide container and gather rows; the 7 auxiliary columns
 # carry operator-resident junk weighted by 1e-30 so XLA cannot slice the
 # gather back down to one column.
-WIDE_GATHER_THRESHOLD = 1 << 19  # gather count above which the wide path wins
+WIDE_GATHER_THRESHOLD = 1 << 17  # gather count above which the wide path wins
 
 
 def ell_matvec_wide(values: jax.Array, cols: jax.Array, x: jax.Array, aux: jax.Array) -> jax.Array:
