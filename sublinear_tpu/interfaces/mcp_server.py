@@ -39,7 +39,7 @@ TOOLS = [
                     "type": "string",
                     "enum": [
                         "neumann", "random-walk", "forward-push", "backward-push",
-                        "bidirectional", "conjugate-gradient", "jacobi",
+                        "bidirectional", "conjugate-gradient", "jacobi", "chebyshev",
                         "gauss-seidel", "hybrid", "bmssp", "adaptive",
                     ],
                     "default": "adaptive",

@@ -30,6 +30,7 @@ _DD_REQUIRED = {
     Method.BIDIRECTIONAL,
     Method.RANDOM_WALK,
     Method.JACOBI,
+    Method.CHEBYSHEV,
     Method.HYBRID,
 }
 
@@ -54,8 +55,13 @@ def select_method(matrix: Matrix, b: Optional[np.ndarray] = None) -> Method:
     if not a.is_diagonally_dominant:
         return Method.CG if a.is_symmetric else Method.CG  # bicgstab handled in solve
     if a.is_symmetric:
-        # strong dominance -> Neumann converges in few terms; otherwise CG
-        return Method.NEUMANN if a.dominance_strength > 0.3 else Method.CG
+        # strong dominance -> Neumann converges in few terms; weak dominance
+        # (rho near 1) -> Chebyshev halves the effective exponent; else CG
+        if a.dominance_strength > 0.3:
+            return Method.NEUMANN
+        if (a.spectral_radius_estimate or 0) > 0.7:
+            return Method.CHEBYSHEV
+        return Method.CG
     if b is not None and np.count_nonzero(b) <= max(1, n // 100):
         return Method.FORWARD_PUSH  # sparse RHS: push touches few coordinates
     return Method.NEUMANN if a.dominance_strength > 0.3 else Method.CG
@@ -107,6 +113,10 @@ def solve(
         return _neumann.solve_neumann(matrix, b, options, raise_on_fail)
     if m == Method.BICGSTAB:
         return _cg.solve_bicgstab(matrix, b, options, raise_on_fail)
+    if m == Method.CHEBYSHEV:
+        from . import chebyshev as _cheb
+
+        return _cheb.solve_chebyshev(matrix, b, options, raise_on_fail)
     if m == Method.CG:
         # CG's convergence theory needs symmetry; for asymmetric systems the
         # right Krylov method is BiCGSTAB (the reference applies plain CG to

@@ -40,6 +40,7 @@ class Method(str, enum.Enum):
     BIDIRECTIONAL = "bidirectional"
     CG = "conjugate-gradient"
     BICGSTAB = "bicgstab"
+    CHEBYSHEV = "chebyshev"
     JACOBI = "jacobi"
     GAUSS_SEIDEL = "gauss-seidel"
     SOR = "sor"

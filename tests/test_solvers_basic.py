@@ -182,3 +182,27 @@ def test_timeout_generous_converges():
     r = slt.solve(A, b, method="conjugate-gradient", epsilon=1e-6, timeout=60.0)
     assert r.converged
     np.testing.assert_allclose(r.solution, x_ref, rtol=2e-4, atol=1e-4)
+
+
+def test_chebyshev_accelerates_weakly_dominant():
+    """Chebyshev semi-iteration: ~3x fewer iterations than Jacobi when the
+    Jacobi spectral radius is near 1 (beyond-reference capability)."""
+    from sublinear_tpu.solvers.chebyshev import solve_chebyshev
+    from sublinear_tpu.solvers.jacobi import solve_jacobi
+
+    A = slt.Matrix(slt.generate("tridiagonal", 300).csr.add_diagonal(0.3))
+    b = slt.rhs(300, seed=1)
+    opts = slt.SolverOptions(epsilon=1e-6, check_every=2, max_iterations=5000)
+    rj = solve_jacobi(A, b, opts, raise_on_fail=False)
+    rc = solve_chebyshev(A, b, opts, raise_on_fail=False)
+    assert rc.converged
+    assert rc.iterations < rj.iterations / 2
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(rc.solution, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_chebyshev_via_dispatch():
+    A = slt.Matrix(slt.generate("tridiagonal", 200).csr.add_diagonal(0.5))
+    b = slt.rhs(200, seed=2)
+    r = slt.solve(A, b, method="chebyshev", epsilon=1e-6, max_iterations=5000)
+    assert r.converged and r.method == "chebyshev"
