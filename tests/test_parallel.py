@@ -86,3 +86,37 @@ def test_shard_operator_padding(mesh8):
     op = shard_operator(A, mesh8)
     assert op.n_pad % (128 * 4) == 0
     assert op.tail_nnz == 0
+
+
+def test_sharded_auto_mode_neumann(mesh8):
+    """GSPMD placement works for the other solvers too: the same jitted
+    neumann program runs over a row-sharded operator."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sublinear_tpu.formats.ell import pad_vector
+    from sublinear_tpu.parallel.sharded import shard_operator
+    from sublinear_tpu.solvers import base as sbase
+    from sublinear_tpu.solvers.neumann import _neumann_run
+
+    A = slt.Matrix(slt.generate("tridiagonal", 256).csr.add_diagonal(0.5))
+    b = slt.rhs(256, seed=4)
+    op = shard_operator(A, mesh8)
+    b_pad = jax.device_put(
+        pad_vector(b, op.n_pad, op.dtype), NamedSharding(mesh8, P("rows"))
+    )
+    thr = sbase.threshold_for(b, slt.SolverOptions(epsilon=1e-5))
+    x, k, res = _neumann_run(op, b_pad, jnp.zeros_like(b_pad), thr, jnp.int32(1000), 5)
+    x_host = np.asarray(jax.device_get(x))[:256]
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(x_host, x_ref, rtol=1e-3, atol=1e-4)
+
+
+def test_collect_stats():
+    A = slt.Matrix(slt.generate("tridiagonal", 128).csr.add_diagonal(0.5))
+    b = slt.rhs(128, seed=5)
+    r = slt.solve(A, b, method="conjugate-gradient", collect_stats=True)
+    assert r.stats is not None
+    assert r.stats.matvec_count > 0
+    assert r.stats.nnz_per_second > 0
+    assert r.stats.device_count >= 1
