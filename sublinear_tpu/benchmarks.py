@@ -125,28 +125,33 @@ def bench_spmv(n: int = 100_000, nnz_per_row: int = 100, reps: int = 5, seed: in
     x = A.pad_vector(slt.rhs(n, seed=seed))
     K = 32
 
-    # NOTE: the operator must be a jit ARGUMENT — closing over the big
-    # ELL arrays embeds them as program constants, which executes ~1000x
-    # slower through the remote-device path.
-    @jax.jit
-    def many(op, x):
+    # Timing protocol (see ARCHITECTURE.md "Measurement honesty"): operator
+    # passed as a jit ARGUMENT (closure constants run ~1000x slower through
+    # the remote-device path); synchronization via a host fetch of a
+    # dependent scalar; cost derived from the DIFFERENCE of two chain
+    # lengths so round-trip jitter cancels.
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("steps",))
+    def many(op, x, steps):
         def body(carry, _):
             y = op.matvec(carry)
-            # renormalize to keep values finite across K iterations
-            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30), y[0]
-        out, probes = jax.lax.scan(body, x, None, length=K)
-        return out, probes
+            # renormalize to keep values finite across the chain
+            return y / jnp.maximum(jnp.linalg.norm(y), 1e-30), None
+        out, _ = jax.lax.scan(body, x, None, length=steps)
+        return jnp.sum(out[0])
 
-    out = many(op, x)
-    jax.block_until_ready(out)  # compile
-    times = []
-    for rep in range(reps):
-        xv = x * (1.0 + 0.01 * rep)
-        t0 = time.perf_counter()
-        out = many(op, xv)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / K)
-    per_matvec = min(times)
+    walls = {}
+    for steps in (K // 4, K):
+        float(many(op, x, steps))  # compile + warm
+        ts = []
+        for rep in range(reps):
+            xv = x * (1.0 + 0.01 * (rep + 1))
+            t0 = time.perf_counter()
+            float(many(op, xv, steps))
+            ts.append(time.perf_counter() - t0)
+        walls[steps] = min(ts)
+    per_matvec = max((walls[K] - walls[K // 4]) / (K - K // 4), 1e-9)
     nnz = A.nnz
     nnz_per_s = nnz / per_matvec
     bw = nnz_per_s * 12  # ~bytes/nnz on the gather path

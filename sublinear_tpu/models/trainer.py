@@ -111,6 +111,30 @@ class Trainer:
             self.state.params = serialization.from_bytes(self.state.params, f.read())
 
 
+def load_series_csv(path: str, column: int | str = -1, skip_header: bool = True) -> np.ndarray:
+    """CSV time-series loader (reference: neural-network-implementation
+    src/data CSV loader).  Returns one column as a float32 series."""
+    import csv
+
+    with open(path) as f:
+        reader = csv.reader(f)
+        rows = list(reader)
+    if not rows:
+        return np.zeros(0, dtype=np.float32)
+    header = rows[0]
+    if isinstance(column, str):
+        idx = header.index(column)
+        rows = rows[1:]
+    else:
+        idx = column if column >= 0 else len(rows[-1]) + column
+        if skip_header:
+            try:
+                float(rows[0][idx])
+            except (ValueError, IndexError):
+                rows = rows[1:]
+    return np.asarray([float(r[idx]) for r in rows if r], dtype=np.float32)
+
+
 def make_windows(series: np.ndarray, window: int, horizon: int = 1):
     """Sliding-window dataset from a 1-D series (data/ loader equivalent)."""
     series = np.asarray(series, dtype=np.float32).reshape(-1)

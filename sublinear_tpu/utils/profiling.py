@@ -54,6 +54,30 @@ def record_solve(matrix, result, matvec_count: Optional[int] = None) -> SolveRec
     )
 
 
+class device_trace:
+    """JAX profiler trace context (SURVEY.md §5.1 TPU equivalent of the
+    reference's ProfileData): writes a TensorBoard-compatible trace.
+
+        with device_trace("/tmp/slt-trace"):
+            slt.solve(A, b)
+    """
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def __enter__(self):
+        import jax
+
+        jax.profiler.start_trace(self.log_dir)
+        return self
+
+    def __exit__(self, *exc):
+        import jax
+
+        jax.profiler.stop_trace()
+        return False
+
+
 class ProfileLog:
     """Append-only JSONL log of SolveRecords (observability sink)."""
 

@@ -195,3 +195,61 @@ graph [
     dense = A.to_dense()
     assert dense[0, 1] == dense[1, 0] == 2.5
     assert dense[1, 2] == dense[2, 1] == 1.0
+
+
+def test_compensated_reductions():
+    import jax.numpy as jnp
+
+    from sublinear_tpu.ops.reductions import compensated_dot, compensated_norm, kahan_sum
+
+    rng = np.random.default_rng(0)
+    # pathological cancellation case: big + many smalls
+    x = np.concatenate([[1e8], rng.uniform(0, 1, 5000), [-1e8]]).astype(np.float32)
+    naive = float(jnp.sum(jnp.asarray(x)))
+    comp = float(kahan_sum(jnp.asarray(x)))
+    exact = float(np.sum(x.astype(np.float64)))
+    # guarantee: no worse than the naive sum on adversarial cancellation,
+    # and f64-close on uniform data (intra-block rounding is not compensated)
+    assert abs(comp - exact) <= abs(naive - exact) + 1e-3
+    u = rng.uniform(0, 1, 100_000).astype(np.float32)
+    cu = float(kahan_sum(jnp.asarray(u)))
+    eu = float(np.sum(u.astype(np.float64)))
+    assert abs(cu - eu) / eu < 1e-6
+    a = rng.uniform(-1, 1, 3000).astype(np.float32)
+    b = rng.uniform(-1, 1, 3000).astype(np.float32)
+    cd = float(compensated_dot(jnp.asarray(a), jnp.asarray(b)))
+    assert abs(cd - float(a.astype(np.float64) @ b.astype(np.float64))) < 1e-3
+    cn = float(compensated_norm(jnp.asarray(a)))
+    assert abs(cn - np.linalg.norm(a.astype(np.float64))) < 1e-3
+
+
+def test_csv_series_loader(tmp_path):
+    from sublinear_tpu.models.trainer import load_series_csv, make_windows
+
+    p = tmp_path / "series.csv"
+    p.write_text("time,price\n0,100.5\n1,101.0\n2,100.8\n3,101.2\n")
+    s = load_series_csv(str(p), column="price")
+    np.testing.assert_allclose(s, [100.5, 101.0, 100.8, 101.2])
+    s2 = load_series_csv(str(p), column=-1)
+    np.testing.assert_allclose(s2, s)
+
+
+def test_error_taxonomy_codes():
+    """Every reference error code is addressable (error.rs / types.ts parity)."""
+    from sublinear_tpu.errors import ERROR_CODES, SolverError
+
+    assert ERROR_CODES["NOT_DIAGONALLY_DOMINANT"] == "E001"
+    assert ERROR_CODES["CONVERGENCE_FAILED"] == "E002"
+    assert ERROR_CODES["TIMEOUT"] == "E004"
+    e = slt.InvalidParametersError("bad", {"k": 1})
+    d = e.to_dict()
+    assert d["code"] == "E008" and d["details"]["k"] == 1
+
+
+def test_solver_options_presets():
+    hp = slt.SolverOptions.high_precision()
+    assert hp.epsilon == 1e-10 and hp.max_iterations == 10000
+    fast = slt.SolverOptions.fast()
+    assert fast.epsilon == 1e-4
+    stream = slt.SolverOptions.streaming()
+    assert stream.check_every == 1
