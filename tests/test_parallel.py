@@ -120,3 +120,28 @@ def test_collect_stats():
     assert r.stats.matvec_count > 0
     assert r.stats.nnz_per_second > 0
     assert r.stats.device_count >= 1
+
+
+def test_multihost_helpers_single_process():
+    from sublinear_tpu.parallel.multihost import global_mesh, host_row_block, init_distributed
+
+    info = init_distributed()  # no coordinator -> single-process no-op
+    assert info["process_count"] == 1
+    assert info["global_devices"] >= 8
+    mesh = global_mesh()
+    assert set(mesh.shape) == {"rows", "batch"}
+    lo, hi = host_row_block(1000)
+    assert (lo, hi) == (0, 1000)
+
+
+def test_large_scale_sharded_smoke(mesh8):
+    """BASELINE config #5 shape (scaled down): large sparse ADD system,
+    row-partitioned explicit-collective CG on the 8-device mesh."""
+    n = 50_000
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5))
+    b = slt.rhs(n, seed=9)
+    r = solve_cg_sharded(A, b, mesh=mesh8, mode="explicit",
+                         options=slt.SolverOptions(epsilon=1e-5, max_iterations=200))
+    assert r.converged
+    rel = np.linalg.norm(A.csr.matvec(r.solution) - b) / np.linalg.norm(b)
+    assert rel < 1e-4
