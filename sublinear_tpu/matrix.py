@@ -33,6 +33,10 @@ class Matrix:
         self._prefer = prefer  # None | 'dense' | 'ell'
         self._ops: dict = {}
         self._transpose_csr: Optional[CSR] = None
+        # serving layers share Matrix objects across threads
+        import threading
+
+        self._lock = threading.Lock()
         # process-unique id for external caches (id() is reused after GC)
         self.uid = next(_UID)
 
@@ -124,16 +128,19 @@ class Matrix:
         kind = "dense" if self._use_dense() else "ell"
         key = (str(dt), bool(transpose), kind)
         if key not in self._ops:
-            csr = self.T_csr() if transpose else self.csr
-            if kind == "dense":
-                self._ops[key] = _ell.dense_from_csr(csr, dt)
-            else:
-                self._ops[key] = _ell.ell_from_csr(csr, dt)
+            with self._lock:
+                if key not in self._ops:
+                    csr = self.T_csr() if transpose else self.csr
+                    if kind == "dense":
+                        self._ops[key] = _ell.dense_from_csr(csr, dt)
+                    else:
+                        self._ops[key] = _ell.ell_from_csr(csr, dt)
         return self._ops[key]
 
     def T_csr(self) -> CSR:
         if self._transpose_csr is None:
-            self._transpose_csr = self.csr.transpose()
+            t = self.csr.transpose()
+            self._transpose_csr = t
         return self._transpose_csr
 
     def pad_vector(self, v, dtype=None, transpose: bool = False):

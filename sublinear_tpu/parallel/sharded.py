@@ -241,17 +241,24 @@ def solve_batch(
 
         raise DimensionMismatchError(f"batch RHS must be (n, k), got {B.shape}")
 
+    nrhs = B.shape[1]
+    # ELL gathers charge per index with payload amortization from >=8-float
+    # rows (ARCHITECTURE.md): pad tiny batches up to 8 columns for free speed
+    from ..formats.ell import EllOperator
+
     if mesh is not None:
         op = shard_operator(matrix, mesh, options.dtype)
-        B_pad = np.zeros((op.n_pad, B.shape[1]))
+        B_width = nrhs
+        B_pad = np.zeros((op.n_pad, B_width))
         B_pad[:n] = B
         B_dev = jax.device_put(
             jnp.asarray(B_pad, op.dtype), NamedSharding(mesh, P(None, BATCH))
         )
     else:
         op = matrix.op(options.dtype)
-        B_pad = np.zeros((op.n_pad, B.shape[1]))
-        B_pad[:n] = B
+        B_width = max(nrhs, 8) if isinstance(op, EllOperator) else nrhs
+        B_pad = np.zeros((op.n_pad, B_width))
+        B_pad[:n, :nrhs] = B
         B_dev = jnp.asarray(B_pad, op.dtype)
 
     X0 = jnp.zeros_like(B_dev)

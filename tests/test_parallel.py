@@ -145,3 +145,18 @@ def test_large_scale_sharded_smoke(mesh8):
     assert r.converged
     rel = np.linalg.norm(A.csr.matvec(r.solution) - b) / np.linalg.norm(b)
     assert rel < 1e-4
+
+
+def test_batch_solve_small_batch_padded_ell():
+    """nrhs < 8 on an ELL operator pads the container (wide-gather economy)
+    without changing results."""
+    n = 300
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5), prefer="ell")
+    rng = np.random.default_rng(3)
+    B = rng.normal(size=(n, 3))
+    results = solve_batch(A, B, slt.SolverOptions(epsilon=1e-7))
+    assert len(results) == 3
+    dense = A.to_dense()
+    for j, r in enumerate(results):
+        assert r.converged
+        np.testing.assert_allclose(r.solution, np.linalg.solve(dense, B[:, j]), rtol=1e-3, atol=1e-4)
