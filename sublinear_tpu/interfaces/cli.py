@@ -221,6 +221,16 @@ def cmd_convert(args):
     return 0
 
 
+def cmd_prove(args):
+    """Temporal-lead certificate (temporal-cli `prove` parity)."""
+    from ..queries.temporal import prove_temporal_lead
+
+    out = prove_temporal_lead(size=args.size, distance_km=args.distance, epsilon=args.epsilon)
+    json.dump(out, sys.stdout, indent=2 if args.pretty else None)
+    print()
+    return 0 if out["proved"] else 1
+
+
 def cmd_serve_mcp(args):
     from .mcp_server import MCPServer
 
@@ -311,6 +321,13 @@ def build_parser():
     s.add_argument("-o", "--output", required=True)
     s.add_argument("-f", "--format", choices=["json", "csv", "mtx"])
     s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("prove", help="temporal-lead certificate")
+    s.add_argument("-s", "--size", type=int, default=1000)
+    s.add_argument("-d", "--distance", type=float, default=10900)
+    s.add_argument("-e", "--epsilon", type=float, default=1e-6)
+    s.add_argument("--pretty", action="store_true")
+    s.set_defaults(fn=cmd_prove)
 
     s = sub.add_parser("serve-mcp", help="run the MCP stdio server")
     s.set_defaults(fn=cmd_serve_mcp)

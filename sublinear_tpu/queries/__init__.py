@@ -1,5 +1,6 @@
 from .estimate import EntryEstimate, estimate_entries, estimate_entry, estimate_functional
 from .temporal import (
+    prove_temporal_lead,
     calculate_light_travel,
     demonstrate_temporal_lead,
     light_travel_ms,
@@ -17,4 +18,5 @@ __all__ = [
     "calculate_light_travel",
     "demonstrate_temporal_lead",
     "light_travel_ms",
+    "prove_temporal_lead",
 ]

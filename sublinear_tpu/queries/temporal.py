@@ -125,6 +125,75 @@ def calculate_light_travel(distance_km: float, matrix_size: int = 1000) -> dict:
     }
 
 
+def prove_temporal_lead(size: int = 1000, distance_km: float = 10_900, epsilon: float = 1e-6) -> dict:
+    """Structured temporal-lead certificate.
+
+    Parity: ``TheoremProver::prove_temporal_lead_theorem``
+    (/root/reference/temporal-lead-solver/src/validation.rs:12-278).  The
+    reference emits hardcoded proof steps; here every step is *computed*: the
+    light bound from the distance, the compute bound from the measured solve,
+    and the query-count bound from the dominance parameters.
+    """
+    import math
+
+    from ..analysis import analyze
+    from ..generate import tridiagonal
+    from ..matrix import Matrix
+
+    A = Matrix(tridiagonal(size).csr.add_diagonal(2.0))
+    a = analyze(A)
+    rho = float(a.spectral_radius_estimate or 0.5)
+    # iterations to epsilon under the Neumann contraction
+    iters_bound = math.ceil(math.log(max(epsilon, 1e-300)) / math.log(max(rho, 1e-9)))
+    validation = validate_temporal_advantage(size, distance_km)
+
+    steps = [
+        {
+            "step": 1,
+            "claim": f"Light needs t_light = d/c = {validation['lightTravelTimeMs']:.3f} ms "
+                     f"to travel {distance_km} km",
+            "basis": "special relativity (no signal outpaces c)",
+        },
+        {
+            "step": 2,
+            "claim": f"The system is diagonally dominant with Jacobi spectral radius "
+                     f"rho = {rho:.3f} < 1",
+            "basis": "Gershgorin bound from the dominance analysis",
+        },
+        {
+            "step": 3,
+            "claim": f"Truncated Neumann iteration reaches epsilon={epsilon:g} in at most "
+                     f"{iters_bound} iterations (rho^k decay)",
+            "basis": "geometric series tail bound",
+        },
+        {
+            "step": 4,
+            "claim": f"Measured solve time t_compute = {validation['computeTimeMs']:.3f} ms",
+            "basis": "wall-clock measurement on this hardware",
+        },
+        {
+            "step": 5,
+            "claim": (
+                f"t_compute < t_light with lead {validation['temporalAdvantageMs']:.3f} ms"
+                if validation["valid"]
+                else "t_compute >= t_light: no lead at this size/distance"
+            ),
+            "basis": "steps 1 and 4",
+        },
+    ]
+    return {
+        "theorem": "temporal computational lead (locally-available inputs)",
+        "proved": bool(validation["valid"]),
+        "steps": steps,
+        "caveat": (
+            "The 'lead' compares local computation against light-transit of remote "
+            "data; it does not transmit information faster than light."
+        ),
+        "parameters": {"size": size, "distanceKm": distance_km, "epsilon": epsilon,
+                       "spectralRadius": rho, "iterationBound": iters_bound},
+    }
+
+
 def demonstrate_temporal_lead(scenario: str = "trading", custom_distance: Optional[float] = None, size: int = 1000) -> dict:
     sc = SCENARIOS.get(scenario, SCENARIOS["trading"]).copy()
     if custom_distance is not None:

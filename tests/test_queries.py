@@ -102,3 +102,13 @@ def test_calculate_light_travel_and_scenarios():
     assert out["feasible"]
     demo = demonstrate_temporal_lead("satellite", size=128)
     assert demo["scenario"]["distanceKm"] == 35_786
+
+
+def test_prove_temporal_lead_certificate():
+    from sublinear_tpu.queries import prove_temporal_lead
+
+    out = prove_temporal_lead(size=128, distance_km=10_900)
+    assert len(out["steps"]) == 5
+    assert out["parameters"]["spectralRadius"] < 1.0
+    assert "caveat" in out
+    assert isinstance(out["proved"], bool)
