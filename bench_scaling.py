@@ -19,7 +19,6 @@ Usage: python bench_scaling.py [--devices 8] [--rows-per-device 50000]
 import argparse
 import json
 import os
-import sys
 import time
 
 
@@ -37,8 +36,6 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", args.platform)
-
-    import numpy as np
 
     import sublinear_tpu as slt
     from sublinear_tpu.parallel.mesh import make_mesh

@@ -11,7 +11,7 @@ import dataclasses
 import json
 import statistics
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

@@ -11,9 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
 from ..matrix import Matrix
 
 

@@ -12,7 +12,7 @@ device); max-flow additionally ships an exact host-side Edmonds-Karp oracle
 from __future__ import annotations
 
 from collections import deque
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

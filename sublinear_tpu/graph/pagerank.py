@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from ..errors import InvalidParametersError
 from ..matrix import Matrix
 from ..solvers import base
-from ..types import SolverOptions
 
 
 @dataclasses.dataclass

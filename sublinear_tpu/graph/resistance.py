@@ -6,8 +6,6 @@ Reference: GraphTools.effectiveResistance
 """
 from __future__ import annotations
 
-import dataclasses
-
 import numpy as np
 
 from ..errors import InvalidParametersError

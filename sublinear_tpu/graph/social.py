@@ -14,7 +14,7 @@ TPU forms:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 
@@ -67,7 +67,6 @@ def friedkin_johnsen(
 def degroot_consensus(adjacency: Matrix, initial_opinions, steps: int = 100) -> dict:
     """x_{t+1} = W x_t on-device (consensus when W is primitive)."""
     import jax
-    import jax.numpy as jnp
 
     W = row_normalize(adjacency)
     op = W.op()

@@ -20,7 +20,7 @@ import threading
 import time
 import urllib.request
 import uuid
-from typing import Callable, Optional
+from typing import Optional
 
 
 @dataclasses.dataclass

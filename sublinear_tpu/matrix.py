@@ -120,8 +120,6 @@ class Matrix:
 
     def op(self, dtype=None, transpose: bool = False):
         """Device operator (cached per (dtype, transpose, kind))."""
-        import jax.numpy as jnp
-
         from .config import resolve_dtype
 
         dt = resolve_dtype(dtype)

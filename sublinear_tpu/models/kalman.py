@@ -10,9 +10,6 @@ TPU re-design: a functional filter whose sequence pass is one ``lax.scan``
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp

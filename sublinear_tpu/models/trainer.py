@@ -11,7 +11,6 @@ automatically.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 

@@ -28,7 +28,6 @@ to T-entry tiles (pad entries carry val=0).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 

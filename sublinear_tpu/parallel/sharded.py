@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..config import LANE, resolve_dtype, round_up
+from ..config import LANE, round_up
 from ..formats import ell as _ell
 from ..matrix import Matrix
 from ..solvers import base

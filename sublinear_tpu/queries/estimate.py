@@ -21,11 +21,9 @@ from typing import Optional, Sequence
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from ..errors import IndexOutOfBoundsError, InvalidParametersError
 from ..matrix import Matrix
-from ..solvers import base as solver_base
 from ..solvers import push as _push
 from ..solvers.dispatch import solve
 from ..solvers.random_walk import walk_estimate

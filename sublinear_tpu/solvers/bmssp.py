@@ -19,9 +19,6 @@ giving x_i = b_src/(1+dist_i) exactly as the reference computes it.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
-
 import numpy as np
 
 import jax

@@ -22,7 +22,6 @@ import numpy as np
 
 from ..matrix import Matrix
 from ..types import SolverOptions, SolverResult
-from . import base
 from .dispatch import solve
 
 
