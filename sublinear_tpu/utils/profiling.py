@@ -54,6 +54,33 @@ def record_solve(matrix, result, matvec_count: Optional[int] = None) -> SolveRec
     )
 
 
+def memory_info() -> dict:
+    """Device/host memory report (reference: MemoryInfo, src/types.rs:213+).
+    Per-device stats come from the backend when available."""
+    import jax
+
+    devices = []
+    for d in jax.devices():
+        stats = {}
+        try:
+            s = d.memory_stats() or {}
+            stats = {
+                "bytesInUse": s.get("bytes_in_use"),
+                "bytesLimit": s.get("bytes_limit"),
+                "peakBytesInUse": s.get("peak_bytes_in_use"),
+            }
+        except Exception:
+            pass
+        devices.append({"id": d.id, "platform": d.platform, **stats})
+    try:
+        import resource
+
+        host_rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    except Exception:
+        host_rss_kb = None
+    return {"devices": devices, "hostPeakRssKb": host_rss_kb}
+
+
 class device_trace:
     """JAX profiler trace context (SURVEY.md §5.1 TPU equivalent of the
     reference's ProfileData): writes a TensorBoard-compatible trace.

@@ -206,3 +206,62 @@ def test_chebyshev_via_dispatch():
     b = slt.rhs(200, seed=2)
     r = slt.solve(A, b, method="chebyshev", epsilon=1e-6, max_iterations=5000)
     assert r.converged and r.method == "chebyshev"
+
+
+def test_prepared_solver_repeated_solves():
+    """Serving fast path: compile once, solve many RHS cheaply."""
+    from sublinear_tpu.solvers.prepared import PreparedSolver
+
+    A = slt.Matrix(slt.generate("tridiagonal", 256).csr.add_diagonal(0.5))
+    ps = PreparedSolver(A, method="conjugate-gradient", options=slt.SolverOptions(epsilon=1e-7))
+    dense = A.to_dense()
+    for seed in (1, 2, 3):
+        b = slt.rhs(256, seed=seed)
+        r = ps.solve(b)
+        assert r.converged
+        np.testing.assert_allclose(r.solution, np.linalg.solve(dense, b), rtol=1e-3, atol=1e-4)
+    # warm restart through the prepared path
+    b = slt.rhs(256, seed=4)
+    r1 = ps.solve(b)
+    r2 = ps.solve(b + 1e-3, x0=r1.solution)
+    assert r2.converged and r2.iterations <= r1.iterations + 2
+
+
+def test_prepared_solver_adaptive_and_errors():
+    from sublinear_tpu.solvers.prepared import PreparedSolver
+
+    A, b, x_ref = make_dd_system(n=64, density=0.1, seed=61)
+    ps = PreparedSolver(A)  # adaptive resolves once
+    r = ps.solve(b)
+    assert r.converged
+    np.testing.assert_allclose(r.solution, x_ref, rtol=5e-4, atol=1e-4)
+    with pytest.raises(slt.SolverError):
+        PreparedSolver(A, method="bmssp")  # not a direct iterative method
+
+
+def test_memory_info():
+    from sublinear_tpu.utils.profiling import memory_info
+
+    info = memory_info()
+    assert len(info["devices"]) >= 1
+    assert "platform" in info["devices"][0]
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_property_sweep_methods_agree(seed):
+    """Property sweep: random DD systems — all deterministic methods agree
+    with the f64 oracle (fuzz-style consistency across the solver family)."""
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(20, 120))
+    density = float(rng.uniform(0.02, 0.2))
+    A = slt.generate("random-sparse", n, seed=200 + seed, density=density)
+    b = slt.rhs(n, seed=300 + seed)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    for method in ("neumann", "bicgstab", "forward-push", "gauss-seidel"):
+        r = slt.solve(A, b, method=method, epsilon=1e-6, max_iterations=3000,
+                      raise_on_fail=False)
+        assert r.converged, f"{method} n={n} density={density:.3f}: res {r.residual}"
+        np.testing.assert_allclose(
+            r.solution, x_ref, rtol=2e-3, atol=1e-3,
+            err_msg=f"{method} n={n} density={density:.3f}",
+        )
