@@ -183,6 +183,106 @@ def solve_cg_sharded(
     return base.check_outcome(result, threshold, options, raise_on_fail)
 
 
+def _explicit_neumann_factory(mesh: Mesh):
+    """shard_map Neumann series: the term vector stays row-sharded; one
+    all_gather re-replicates it before each local SpMV (the halo exchange),
+    and the residual check psum-reduces partial norms — the overlapped
+    halo-exchange schedule of SURVEY.md §5.7 for the series iteration."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, ROWS), P(None, ROWS), P(ROWS), P(ROWS),  # values, cols, diag, inv_diag
+            P(ROWS), P(),                                     # b_local, x0_full
+            P(), P(), P(),                                    # threshold, max_iters, check_every
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def neumann_shard(vals_l, cols_l, diag_l, invd_l, b_l, x0_full, threshold, max_iters, check_every):
+        from ..ops import spmv
+
+        shard = b_l.shape[0]
+        idx = jax.lax.axis_index(ROWS) * shard
+
+        def local(v_full):
+            return jax.lax.dynamic_slice(v_full, (idx,), (shard,))
+
+        def pnorm(v_l):
+            return jnp.sqrt(jax.lax.psum(jnp.vdot(v_l, v_l), ROWS))
+
+        r0_l = b_l - spmv.ell_matvec(vals_l, cols_l, x0_full)
+        term0_l = invd_l * r0_l
+        x_l = local(x0_full) + term0_l
+
+        def cond(carry):
+            x_l, term_l, k, res = carry
+            return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
+
+        def body(carry):
+            x_l, term_l, k, _ = carry
+
+            def inner(i, st):
+                x_l, term_l = st
+                term_full = jax.lax.all_gather(term_l, ROWS, tiled=True)  # halo
+                at_l = spmv.ell_matvec(vals_l, cols_l, term_full) - diag_l * local(term_full)
+                term_l = -invd_l * at_l
+                return x_l + term_l, term_l
+
+            x_l, term_l = jax.lax.fori_loop(0, check_every, inner, (x_l, term_l))
+            x_full = jax.lax.all_gather(x_l, ROWS, tiled=True)
+            res = pnorm(spmv.ell_matvec(vals_l, cols_l, x_full) - b_l)
+            return x_l, term_l, k + check_every, res
+
+        x_full0 = jax.lax.all_gather(x_l, ROWS, tiled=True)
+        res0 = pnorm(spmv.ell_matvec(vals_l, cols_l, x_full0) - b_l)
+        x_l, term_l, k, res = jax.lax.while_loop(
+            cond, body, (x_l, term0_l, jnp.int32(0), res0)
+        )
+        return jax.lax.all_gather(x_l, ROWS, tiled=True), k, res
+
+    return jax.jit(neumann_shard)
+
+
+def solve_neumann_sharded(
+    matrix: Matrix,
+    b,
+    mesh: Optional[Mesh] = None,
+    options: Optional[SolverOptions] = None,
+    raise_on_fail: bool = True,
+) -> SolverResult:
+    """Distributed Neumann series over a row-partitioned operator."""
+    options = options or SolverOptions()
+    mesh = mesh or mesh_mod.make_mesh()
+    op = shard_operator(matrix, mesh, options.dtype)
+    n = matrix.shape[0]
+    b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
+    b_local = jax.device_put(b_full, NamedSharding(mesh, P(ROWS)))
+    x0_np = np.zeros(op.n_pad) if options.x0 is None else np.pad(
+        np.asarray(options.x0, dtype=np.float64), (0, op.n_pad - n)
+    )
+    x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), NamedSharding(mesh, P()))
+    threshold = base.threshold_for(b, options)
+
+    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "neumann")
+    if key not in _EXPLICIT_CACHE:
+        _EXPLICIT_CACHE[key] = _explicit_neumann_factory(mesh)
+    fn = _EXPLICIT_CACHE[key]
+    with base.SolveTimer() as t:
+        x, k, res = fn(
+            op.values, op.cols, op.diag, op.inv_diag, b_local, x0,
+            jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
+            jnp.int32(options.check_every),
+        )
+        jax.block_until_ready(x)
+    result = base.finalize(
+        matrix, x, k, res, "neumann-sharded", options, t.ms,
+        matvec_count=int(jax.device_get(k)),
+    )
+    return base.check_outcome(result, threshold, options, raise_on_fail)
+
+
 # ------------------------------------------------------------------ batched
 
 @functools.partial(jax.jit, static_argnames=("precondition",))

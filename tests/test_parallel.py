@@ -160,3 +160,13 @@ def test_batch_solve_small_batch_padded_ell():
     for j, r in enumerate(results):
         assert r.converged
         np.testing.assert_allclose(r.solution, np.linalg.solve(dense, B[:, j]), rtol=1e-3, atol=1e-4)
+
+
+def test_sharded_neumann_matches_oracle(mesh8):
+    from sublinear_tpu.parallel.sharded import solve_neumann_sharded
+
+    A, b, x_ref = spd_system(n=256, seed=6)
+    r = solve_neumann_sharded(A, b, mesh=mesh8, options=slt.SolverOptions(epsilon=1e-6))
+    assert r.converged, f"residual {r.residual}"
+    assert r.method == "neumann-sharded"
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-3, atol=1e-4)
