@@ -69,8 +69,12 @@ def analyze(matrix: Matrix, estimate_condition: bool = True) -> MatrixAnalysis:
     row_off = csr.offdiag_abs_row_sums()[: min(n, m)] if n else np.zeros(0)
     col_off = csr.offdiag_abs_col_sums()[: min(n, m)] if m else np.zeros(0)
 
-    row_dom = bool(n == m and n > 0 and np.all(abs_diag >= row_off - 1e-12 * np.maximum(abs_diag, 1)))
-    col_dom = bool(n == m and n > 0 and np.all(abs_diag >= col_off - 1e-12 * np.maximum(abs_diag, 1)))
+    # a zero diagonal entry disqualifies dominance (the solvers need D^-1)
+    nonzero_diag = bool(abs_diag.size and np.all(abs_diag > 0))
+    row_dom = bool(n == m and n > 0 and nonzero_diag
+                   and np.all(abs_diag >= row_off - 1e-12 * np.maximum(abs_diag, 1)))
+    col_dom = bool(n == m and n > 0 and nonzero_diag
+                   and np.all(abs_diag >= col_off - 1e-12 * np.maximum(abs_diag, 1)))
 
     # dominance strength: min over rows of (|a_ii| - offsum)/|a_ii|
     # (reference: src/core/matrix.ts:211-262 checkDiagonalDominance)

@@ -137,3 +137,36 @@ def test_wide_gather_matvec_matches_narrow():
         np.testing.assert_allclose(y, A.to_dense() @ x, rtol=2e-5, atol=1e-4)
     finally:
         spmv_mod.WIDE_GATHER_THRESHOLD = old
+
+
+def test_one_by_one_matrix():
+    A = slt.Matrix.from_dense(np.array([[4.0]]))
+    r = slt.solve(A, [8.0], method="neumann")
+    assert abs(r.solution[0] - 2.0) < 1e-5
+
+
+def test_rectangular_solve_rejected():
+    A = slt.Matrix.from_coo([0, 1], [0, 1], [1.0, 1.0], (3, 2))
+    with pytest.raises(slt.InvalidMatrixError):
+        slt.solve(A, [1.0, 1.0, 1.0])
+
+
+def test_empty_coo_matrix():
+    A = slt.Matrix.from_coo([], [], [], (4, 4))
+    assert A.nnz == 0
+    a = slt.analyze(A)
+    assert not a.is_diagonally_dominant  # zero diagonal
+
+
+def test_nan_rhs_detected():
+    A = slt.generate("tridiagonal", 8)
+    b = np.ones(8)
+    b[3] = np.nan
+    r = slt.solve(A, b, method="conjugate-gradient", raise_on_fail=False)
+    assert not r.converged
+
+
+def test_duplicate_and_unsorted_triplets():
+    # unsorted + duplicated COO input is normalized
+    A = slt.Matrix.from_coo([1, 0, 1, 0], [0, 1, 0, 0], [1.0, 2.0, 3.0, 5.0], (2, 2))
+    np.testing.assert_allclose(A.to_dense(), [[5.0, 2.0], [4.0, 0.0]])
