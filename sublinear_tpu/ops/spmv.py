@@ -28,11 +28,17 @@ import jax
 import jax.numpy as jnp
 
 
+# All contractions use HIGHEST precision: on TPU the default f32 matmul
+# runs single-pass bf16 on the MXU (~3e-3 relative error), which stalls
+# solver residuals around 1e-1 absolute — measured, not hypothetical.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def ell_matvec(values: jax.Array, cols: jax.Array, x: jax.Array) -> jax.Array:
     """y = A @ x for slot-major ELL. values/cols: (K, n_pad); x: (m_pad,)."""
     # gather -> (K, n_pad); FMA and reduce over slots
     gathered = jnp.take(x, cols, axis=0)
-    return jnp.einsum("kn,kn->n", values, gathered)
+    return jnp.einsum("kn,kn->n", values, gathered, precision=_PREC)
 
 
 # The TPU gather engine costs ~16 ns per index for single-float payloads but
@@ -52,7 +58,7 @@ def ell_matvec_wide(values: jax.Array, cols: jax.Array, x: jax.Array, aux: jax.A
     w = jnp.concatenate(
         [jnp.ones((1,), x.dtype), jnp.full((aux.shape[1],), 1e-30, x.dtype)]
     )
-    return jnp.einsum("kns,s,kn->n", gathered, w, values)
+    return jnp.einsum("kns,s,kn->n", gathered, w, values, precision=_PREC)
 
 
 def ell_matmat(values: jax.Array, cols: jax.Array, X: jax.Array) -> jax.Array:
@@ -62,7 +68,7 @@ def ell_matmat(values: jax.Array, cols: jax.Array, X: jax.Array) -> jax.Array:
     (/root/reference/src/mcp/tools/solver.ts:291-321) with one fused product.
     """
     gathered = jnp.take(X, cols, axis=0)  # (K, n_pad, B)
-    return jnp.einsum("kn,knb->nb", values, gathered)
+    return jnp.einsum("kn,knb->nb", values, gathered, precision=_PREC)
 
 
 def coo_matvec(
@@ -85,8 +91,8 @@ def coo_matmat(
 
 
 def dense_matvec(data: jax.Array, x: jax.Array) -> jax.Array:
-    return jnp.dot(data, x, preferred_element_type=data.dtype)
+    return jnp.dot(data, x, preferred_element_type=data.dtype, precision=_PREC)
 
 
 def dense_matmat(data: jax.Array, X: jax.Array) -> jax.Array:
-    return jnp.dot(data, X, preferred_element_type=data.dtype)
+    return jnp.dot(data, X, preferred_element_type=data.dtype, precision=_PREC)
