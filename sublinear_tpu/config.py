@@ -18,6 +18,24 @@ def backend() -> str:
     return jax.default_backend()
 
 
+def configure_platform(platform: str | None = None) -> None:
+    """Select the jax platform for this process (``cpu``/``tpu``/plugin name).
+
+    Priority: explicit argument > ``SLT_PLATFORM`` env var > leave jax's own
+    defaults untouched.  Must run before the first jax computation — jax
+    snapshots ``JAX_PLATFORMS`` at import, and this container pre-imports jax,
+    so an env var set after interpreter start is ignored; the config API is
+    the only reliable override (reference exposes no such knob — its backends
+    are implicit; here the CLI/MCP/HTTP entry points all honor it)."""
+    p = platform or os.environ.get("SLT_PLATFORM")
+    if not p:
+        return
+    import jax
+
+    jax.config.update("jax_platforms", p)
+    backend.cache_clear()
+
+
 def default_dtype():
     import jax.numpy as jnp
 

@@ -250,6 +250,7 @@ def build_parser():
         prog="sublinear-tpu",
         description="TPU-native sublinear-time solver for diagonally-dominant systems",
     )
+    p.add_argument("--platform", help="jax platform override (cpu/tpu); also SLT_PLATFORM env")
     sub = p.add_subparsers(dest="command", required=True)
 
     s = sub.add_parser("solve", help="solve Ax=b from JSON files")
@@ -342,6 +343,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from ..config import configure_platform
+
+    configure_platform(getattr(args, "platform", None))
     try:
         return args.fn(args)
     except Exception as e:  # structured error reporting at the CLI boundary

@@ -24,6 +24,8 @@ import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+_START_TIME = time.monotonic()
+
 import numpy as np
 
 
@@ -128,7 +130,7 @@ class Handler(BaseHTTPRequestHandler):
                 "status": "healthy",
                 "backend": jax.default_backend(),
                 "devices": len(jax.devices()),
-                "uptime": time.time(),
+                "uptime": time.monotonic() - _START_TIME,
             })
         if len(parts) == 4 and parts[:3] == ["api", "v1", "jobs"]:
             job = MANAGER.jobs.get(parts[3])
@@ -252,8 +254,12 @@ def make_server(host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
 if __name__ == "__main__":
     import argparse
 
+    from ..config import configure_platform
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=3000)
+    ap.add_argument("--platform", help="jax platform override (cpu/tpu); also SLT_PLATFORM env")
     a = ap.parse_args()
+    configure_platform(a.platform)
     serve(a.host, a.port)

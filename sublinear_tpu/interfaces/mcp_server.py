@@ -389,4 +389,7 @@ def _backend() -> str:
 
 
 if __name__ == "__main__":
+    from ..config import configure_platform
+
+    configure_platform()
     MCPServer().run()
