@@ -10,12 +10,13 @@ config (Rust-WASM 0.63 ms, /root/reference/README.md:357-359); > 1.0 means we
 are faster than the reference.
 
 Timing protocol (the dev tunnel requires care):
-  - REPS independent solves (RHS varied per repetition so nothing can be
-    cached/CSE'd) run inside ONE jitted lax.scan;
+  - independent solves (RHS varied per repetition so nothing can be
+    cached/CSE'd) run inside ONE jitted vmapped program;
   - synchronization is a host fetch of a scalar that depends on every solve
     (block_until_ready does NOT guarantee completion through the tunnel);
-  - the measured wall subtracts the round-trip floor (timed on a trivial
-    program) and divides by REPS.
+  - per-solve time is the SLOPE between a REPS-solve batch and a 2*REPS-solve
+    batch: (t_big - t_small) / REPS.  The constant tunnel round-trip cancels
+    exactly, unlike subtracting a floor measured on a different program.
 Extra diagnostics go to stderr; stdout is the single JSON line.
 """
 import json
@@ -27,7 +28,7 @@ import numpy as np
 N = 1000
 DENSITY = 0.001
 EPSILON = 1e-6
-REPS = 256
+REPS = 32768  # small batch; large batch is 2*REPS (sized so device compute >> tunnel jitter)
 BASELINE_MS = 0.63  # Rust-WASM, reference README.md:359
 
 
@@ -46,8 +47,10 @@ def main():
     threshold = sbase.threshold_for(b, slt.SolverOptions(epsilon=EPSILON))
     print(f"setup {1e3 * (time.perf_counter() - t_setup):.0f}ms nnz={A.nnz}", file=sys.stderr)
 
-    scales_np = np.linspace(0.5, 2.0, REPS)
-    scales = jnp.asarray(scales_np, op.dtype)
+    scales_small_np = np.linspace(0.5, 2.0, REPS)
+    scales_big_np = np.linspace(0.5, 2.0, 2 * REPS)
+    scales_small = jnp.asarray(scales_small_np, op.dtype)
+    scales_big = jnp.asarray(scales_big_np, op.dtype)
 
     # Fixed-iteration Neumann series (ITERS chosen with margin over the ~10
     # this system needs), vmapped over all REPS right-hand sides: the whole
@@ -78,48 +81,45 @@ def main():
         ks = jnp.full(scales.shape, ITERS, jnp.int32)
         return jnp.sum(probes), ks, ress
 
-    @jax.jit
-    def trivial(x):
-        return x[0] + 1.0
-
     def sync_run(fn, *args):
         """Execute and block on a real host fetch of a dependent scalar."""
         out = fn(*args)
         float(np.asarray(jax.device_get(out[0] if isinstance(out, tuple) else out)))
         return out
 
-    # compile + warmup
+    # compile + warmup (both batch shapes)
     t0 = time.perf_counter()
-    out = sync_run(run_many, op, b_pad, scales)
+    out = sync_run(run_many, op, b_pad, scales_small)
+    out_big = sync_run(run_many, op, b_pad, scales_big)
     print(f"compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # round-trip floor
-    float(trivial(b_pad))
-    floors = []
-    for rep in range(5):
-        t0 = time.perf_counter()
-        float(trivial(b_pad * (1.0 + 0.001 * rep)))
-        floors.append(time.perf_counter() - t0)
-    floor = min(floors)
-    print(f"rpc floor {floor * 1e3:.2f}ms", file=sys.stderr)
-
-    times = []
-    for rep in range(3):
+    def time_batch(scales, rep):
         sc = scales * (1.0 + 0.01 * (rep + 1))
         t0 = time.perf_counter()
-        out = sync_run(run_many, op, b_pad, sc)
-        times.append(max(time.perf_counter() - t0 - floor, 1e-9) / REPS * 1e3)
-    per_solve_ms = min(times)
+        sync_run(run_many, op, b_pad, sc)
+        return time.perf_counter() - t0
 
-    _, ks, ress = out
+    # Interleave small/big timings so drift affects both equally; the
+    # per-solve time is the slope, which cancels the constant RPC round-trip.
+    t_small, t_big = [], []
+    for rep in range(5):
+        t_small.append(time_batch(scales_small, rep))
+        t_big.append(time_batch(scales_big, rep))
+    per_solve_ms = max(min(t_big) - min(t_small), 1e-9) / REPS * 1e3
+    print(
+        f"small {[f'{t*1e3:.2f}' for t in t_small]}ms big {[f'{t*1e3:.2f}' for t in t_big]}ms",
+        file=sys.stderr,
+    )
+
+    _, ks, ress = out_big
     ks = np.asarray(jax.device_get(ks))
     ress = np.asarray(jax.device_get(ress))
     # correctness gate: every repetition must actually converge
     # (margin covers the per-run input perturbation above)
-    ok = bool(np.all(ress <= np.asarray(threshold) * scales_np * 1.05))
+    ok = bool(np.all(ress <= np.asarray(threshold) * scales_big_np * 1.05))
     print(
         f"iters={ks.min()}..{ks.max()} max_res={ress.max():.2e} converged={ok} "
-        f"per_solve={per_solve_ms:.4f}ms (runs: {[f'{t:.4f}' for t in times]})",
+        f"per_solve={per_solve_ms:.4f}ms",
         file=sys.stderr,
     )
     if not ok:
