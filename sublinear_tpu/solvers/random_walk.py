@@ -46,12 +46,14 @@ def default_num_walks(options: SolverOptions) -> int:
 class SamplingTables:
     """Row-major CDF sampling tables for the iteration matrix M = -D^-1 R."""
 
-    def __init__(self, cols, cdf, sign, S, n_pad):
+    def __init__(self, cols, cdf, sign, S, n_pad, mval, k_row):
         self.cols = cols  # (n_pad, K) int32
         self.cdf = cdf    # (n_pad, K) cumulative probabilities in [0, 1]
         self.sign = sign  # (n_pad, K) ±1
         self.S = S        # (n_pad,) row l1 mass of M
         self.n_pad = n_pad
+        self.mval = mval  # (n_pad, K) signed entries of M (uniform-strategy IS weights)
+        self.k_row = k_row  # (n_pad,) nonzero slot count per row
 
 
 _TABLE_CACHE: dict = {}
@@ -85,30 +87,69 @@ def sampling_tables(matrix: Matrix, dtype=None) -> SamplingTables:
 
     absm = np.zeros((n_pad, K))
     sign = np.ones((n_pad, K))
+    mval = np.zeros((n_pad, K))
     cols = np.zeros((n_pad, K), dtype=np.int32)
     absm[o_rows, pos] = np.abs(m_vals)
     sign[o_rows, pos] = np.where(m_vals >= 0, 1.0, -1.0)
+    mval[o_rows, pos] = m_vals
     cols[o_rows, pos] = o_cols
 
     S = absm.sum(axis=1)
     safe = np.where(S > 0, S, 1.0)
     cdf = np.cumsum(absm / safe[:, None], axis=1)
     cdf[:, -1] = 1.0 + 1e-6  # guard: u==1 still lands in the last slot
+    k_row = np.zeros(n_pad)
+    k_row[:n] = row_cnt
 
     tables = SamplingTables(
-        jnp.asarray(cols), jnp.asarray(cdf, dt), jnp.asarray(sign, dt), jnp.asarray(S, dt), n_pad
+        jnp.asarray(cols), jnp.asarray(cdf, dt), jnp.asarray(sign, dt), jnp.asarray(S, dt),
+        n_pad, jnp.asarray(mval, dt), jnp.asarray(k_row, dt),
     )
     _TABLE_CACHE[key] = tables
     return tables
 
 
-@functools.partial(jax.jit, static_argnames=("max_len", "antithetic"))
-def _walk_batch(cols, cdf, sign, S, c, starts, seed, max_len, antithetic):
+_GOLDEN = 0.6180339887498949  # 1/phi, additive-recurrence QMC stride
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_len", "antithetic", "strategy", "t_start", "group")
+)
+def _walk_batch(tables_tuple, c, starts, seed, max_len, antithetic,
+                strategy="importance", t_start=0, group=0):
     """Advance all walkers to termination.  starts: (W,) int32 start nodes.
-    Returns per-walker accumulated estimates (W,)."""
+
+    strategy (reference sampling.rs:9-120 AdaptiveSampler strategies, as
+    lane-parallel estimators):
+      importance — next node ~ |m_jk|/S_j (exactly-known IS weight sign*S);
+      uniform    — next node uniform over the row's nonzeros, IS weight m*k;
+      stratified — importance CDF driven by per-group stratified u
+                   (group = walks per start node);
+      qmc        — importance CDF driven by a randomized golden-ratio
+                   additive recurrence (Cranley-Patterson shifted).
+    t_start: accumulate only steps t >= t_start (multilevel tail estimator).
+    Returns per-walker accumulated estimates (W,) and the step count."""
+    cols, cdf, sign, S, mval, k_row = tables_tuple
     W = starts.shape[0]
     dt = c.dtype
     w_min = jnp.asarray(1e-4, dt)
+    key0 = jax.random.PRNGKey(seed)
+    qmc_shift = jax.random.uniform(jax.random.fold_in(key0, 0x9E37), (W,), dt)
+    lane = jnp.arange(W)
+
+    def gen_u(t, key):
+        key, sub = jax.random.split(key)
+        if strategy == "qmc":
+            u = jnp.mod(qmc_shift + (t.astype(dt) + 1.0) * jnp.asarray(_GOLDEN, dt), 1.0)
+        elif strategy == "stratified" and group > 1:
+            xi = jax.random.uniform(sub, (W,), dt)
+            u = ((lane % group).astype(dt) + xi) / jnp.asarray(group, dt)
+        else:
+            u = jax.random.uniform(sub, (W,), dt)
+        if antithetic:
+            half = W // 2
+            u = jnp.concatenate([u[:half], 1.0 - u[:half], u[2 * half:]])
+        return u, key
 
     def cond(carry):
         pos, w, acc, t, key = carry
@@ -116,49 +157,70 @@ def _walk_batch(cols, cdf, sign, S, c, starts, seed, max_len, antithetic):
 
     def body(carry):
         pos, w, acc, t, key = carry
-        acc = acc + w * jnp.take(c, pos)
-        key, sub = jax.random.split(key)
-        u = jax.random.uniform(sub, (W,), dt)
-        if antithetic:
-            half = W // 2
-            u = jnp.concatenate([u[:half], 1.0 - u[:half], u[2 * half:]])
-        row_cdf = jnp.take(cdf, pos, axis=0)          # (W, K)
-        slot = jnp.sum(u[:, None] >= row_cdf, axis=1)  # searchsorted on VPU
-        slot = jnp.minimum(slot, row_cdf.shape[1] - 1)
+        contrib = w * jnp.take(c, pos)
+        acc = acc + (contrib if t_start == 0 else jnp.where(t >= t_start, contrib, 0.0))
+        u, key = gen_u(t, key)
+        k_here = jnp.take(k_row, pos)
         s_here = jnp.take(S, pos)
-        sgn = jnp.take_along_axis(jnp.take(sign, pos, axis=0), slot[:, None], axis=1)[:, 0]
+        if strategy == "uniform":
+            slot = jnp.floor(u * k_here).astype(jnp.int32)
+            slot = jnp.clip(slot, 0, cols.shape[1] - 1)
+            m_here = jnp.take_along_axis(jnp.take(mval, pos, axis=0), slot[:, None], axis=1)[:, 0]
+            w = w * m_here * k_here
+        else:
+            row_cdf = jnp.take(cdf, pos, axis=0)          # (W, K)
+            slot = jnp.sum(u[:, None] >= row_cdf, axis=1)  # searchsorted on VPU
+            slot = jnp.minimum(slot, row_cdf.shape[1] - 1)
+            sgn = jnp.take_along_axis(jnp.take(sign, pos, axis=0), slot[:, None], axis=1)[:, 0]
+            w = w * sgn * s_here
         nxt = jnp.take_along_axis(jnp.take(cols, pos, axis=0), slot[:, None], axis=1)[:, 0]
-        w = w * sgn * s_here
         w = jnp.where(s_here > 0, w, 0.0)  # dangling rows terminate
         pos = jnp.where(s_here > 0, nxt, pos)
         return pos, w, acc, t + 1, key
 
-    key = jax.random.PRNGKey(seed)
-    carry0 = (starts, jnp.ones(W, dt), jnp.zeros(W, dt), jnp.int32(0), key)
+    carry0 = (starts, jnp.ones(W, dt), jnp.zeros(W, dt), jnp.int32(0), key0)
     pos, w, acc, t, _ = jax.lax.while_loop(cond, body, carry0)
     return acc, t
 
 
-def walk_estimate(matrix: Matrix, b, start_nodes, options: SolverOptions):
-    """MC estimates of x[start_nodes]; returns (estimates, variance, steps)."""
-    dt = resolve_dtype(options.dtype)
+def _walk_inputs(matrix: Matrix, b, options: SolverOptions):
     tables = sampling_tables(matrix, options.dtype)
     op = matrix.op(options.dtype)
     b_pad = matrix.pad_vector(b, options.dtype)
     c = op.inv_diag * b_pad
+    tup = (tables.cols, tables.cdf, tables.sign, tables.S, tables.mval, tables.k_row)
+    return tup, c
 
-    start_nodes = np.asarray(start_nodes, dtype=np.int32).reshape(-1)
-    W = default_num_walks(options)
-    starts = jnp.asarray(np.repeat(start_nodes, W))
-    anti = options.variance_reduction == "antithetic"
+
+def run_walks(matrix: Matrix, b, starts_np, options: SolverOptions, *,
+              strategy=None, t_start=0, max_len=None, seed_offset=0, group=0):
+    """Raw per-walker accumulations for an arbitrary start-node multiset.
+    Building block for walk_estimate and the sampling/multilevel estimators."""
+    tup, c = _walk_inputs(matrix, b, options)
+    strategy = strategy or options.sampling
+    anti = options.variance_reduction == "antithetic" and strategy not in ("stratified", "qmc")
+    max_len = int(min(options.max_walk_length, 512)) if max_len is None else int(max_len)
     acc, t = _walk_batch(
-        tables.cols, tables.cdf, tables.sign, tables.S, c, starts,
-        int(options.seed), int(min(options.max_walk_length, 512)), anti,
+        tup, c, jnp.asarray(starts_np, jnp.int32), int(options.seed) + seed_offset,
+        max_len, anti, strategy=strategy, t_start=int(t_start), group=int(group),
     )
-    acc = np.asarray(jax.device_get(acc), dtype=np.float64).reshape(start_nodes.size, W)
+    return np.asarray(jax.device_get(acc), dtype=np.float64), int(jax.device_get(t))
+
+
+def walk_estimate(matrix: Matrix, b, start_nodes, options: SolverOptions):
+    """MC estimates of x[start_nodes]; returns (estimates, variance, steps)."""
+    start_nodes = np.asarray(start_nodes, dtype=np.int32).reshape(-1)
+    if options.sampling == "adaptive":
+        from .sampling import adaptive_walk_estimate
+
+        return adaptive_walk_estimate(matrix, b, start_nodes, options)
+    W = default_num_walks(options)
+    starts = np.repeat(start_nodes, W)
+    acc, t = run_walks(matrix, b, starts, options, group=W)
+    acc = acc.reshape(start_nodes.size, W)
     est = acc.mean(axis=1)
     var = acc.var(axis=1, ddof=1) if W > 1 else np.zeros_like(est)
-    return est, var, int(jax.device_get(t))
+    return est, var, t
 
 
 def solve_random_walk(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:

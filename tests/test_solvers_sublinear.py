@@ -140,3 +140,68 @@ def test_bmssp_shortest_paths_vs_dijkstra_oracle():
     reach = np.isfinite(dist_ref)
     np.testing.assert_allclose(dist[:n][reach], dist_ref[reach], rtol=1e-4)
     assert np.all(dist[:n][~reach] > 1e29)
+
+
+def _strong_dd(n=48, seed=6):
+    A = slt.generate("random-sparse", n, seed=seed, density=0.08)
+    A = slt.Matrix(A.csr.add_diagonal(2.0))
+    b = slt.rhs(n, seed=seed)
+    return A, b, np.linalg.solve(A.to_dense(), b)
+
+
+def test_sampling_strategies_all_unbiased():
+    """Every sampling strategy estimates the same entries (reference
+    sampling.rs AdaptiveSampler strategy sweep)."""
+    from sublinear_tpu.solvers.random_walk import walk_estimate
+
+    A, b, x_ref = _strong_dd()
+    nodes = [0, 7, 33]
+    for strat in ["importance", "uniform", "stratified", "qmc", "adaptive"]:
+        est, var, steps = walk_estimate(
+            A, b, nodes, slt.SolverOptions(num_walks=4000, seed=3, sampling=strat))
+        np.testing.assert_allclose(est, x_ref[nodes], atol=0.08,
+                                   err_msg=f"strategy={strat}")
+        assert np.all(var >= 0)
+
+
+def test_stratified_and_qmc_reduce_variance():
+    """Stratified/QMC u-sequences should not increase variance vs iid
+    uniform driving of the same importance proposal (averaged over nodes)."""
+    from sublinear_tpu.solvers.random_walk import walk_estimate
+
+    A, b, x_ref = _strong_dd(seed=9)
+    nodes = list(range(16))
+    base = slt.SolverOptions(num_walks=2000, seed=11, variance_reduction="none")
+    _, var_iid, _ = walk_estimate(A, b, nodes, base)
+    for strat in ["stratified", "qmc"]:
+        opts = slt.SolverOptions(num_walks=2000, seed=11, sampling=strat,
+                                 variance_reduction="none")
+        est, var, _ = walk_estimate(A, b, nodes, opts)
+        np.testing.assert_allclose(est, x_ref[nodes], atol=0.08)
+        assert var.mean() <= var_iid.mean() * 1.25, (strat, var.mean(), var_iid.mean())
+
+
+def test_multilevel_estimate_matches_oracle():
+    from sublinear_tpu.solvers.sampling import SamplingStats, multilevel_estimate
+
+    A, b, x_ref = _strong_dd(seed=4)
+    nodes = np.array([1, 5, 40])
+    stats = SamplingStats()
+    est, var, steps = multilevel_estimate(
+        A, b, nodes, slt.SolverOptions(num_walks=4000, seed=5), stats=stats)
+    np.testing.assert_allclose(est, x_ref[nodes], atol=0.08)
+    assert stats.total_walks > 0 and len(stats.phases) == 3
+    # deep levels must use geometrically fewer walks
+    assert stats.phases[2]["walks"] < stats.phases[0]["walks"]
+
+
+def test_adaptive_allocates_by_variance():
+    from sublinear_tpu.solvers.sampling import SamplingStats, adaptive_walk_estimate
+
+    A, b, x_ref = _strong_dd(seed=8)
+    nodes = np.arange(8)
+    stats = SamplingStats()
+    est, var, _ = adaptive_walk_estimate(
+        A, b, nodes, slt.SolverOptions(num_walks=2000, seed=7), stats=stats)
+    np.testing.assert_allclose(est, x_ref[nodes], atol=0.08)
+    assert [p["phase"] for p in stats.phases] == ["pilot", "refine"]
