@@ -9,6 +9,8 @@ Parity with the reference server (/root/reference/server/index.js:13-628):
   GET  /api/v1/jobs/<id>/stream     - stream chunks of a running job
   POST /api/v1/verify               - random-probe verification
   GET  /api/v1/sessions/<id>        - session info
+  GET  /ws                          - WebSocket (welcome/solve/subscribe/ping,
+                                      index.js:449-596; stdlib RFC 6455)
 
 Sessions/jobs mirror SessionManager (/root/reference/server/session-manager.js:5-439):
 in-memory lifecycle with background worker threads (the reference uses
@@ -123,6 +125,8 @@ class Handler(BaseHTTPRequestHandler):
     # ------------------------------------------------------------- routes
     def do_GET(self):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if parts == ["ws"]:
+            return self._websocket()
         if parts == ["health"]:
             import jax
 
@@ -217,6 +221,70 @@ class Handler(BaseHTTPRequestHandler):
             "maxAbsResidual": float(np.abs(r).max()) if r.size else 0.0,
             "verified": rel <= eps,
         })
+
+    # ---------------------------------------------------------- websocket
+    def _websocket(self):
+        """WS message protocol (reference server/index.js:449-596):
+        welcome on connect; solve -> solve_started + session_update stream;
+        subscribe {session_id}; ping -> pong; unknown -> error."""
+        from .websocket import WebSocketConnection, perform_handshake
+
+        if not perform_handshake(self):
+            return
+        ws = WebSocketConnection(self.rfile, self.wfile)
+        ws.send_json({"type": "welcome", "timestamp": time.time()})
+        while ws.open:
+            msg = ws.read_message()
+            if msg is None:
+                break
+            _, payload = msg
+            try:
+                message = json.loads(payload.decode())
+            except (UnicodeDecodeError, json.JSONDecodeError) as e:
+                ws.send_json({"type": "error", "error": str(e)})
+                continue
+            mtype = message.get("type")
+            if mtype == "ping":
+                ws.send_json({"type": "pong", "timestamp": time.time()})
+            elif mtype == "solve":
+                try:
+                    job = MANAGER.submit_job(message)
+                except Exception as e:
+                    ws.send_json({"type": "error", "error": str(e)})
+                    continue
+                ws.send_json({"type": "solve_started", "session_id": job.session_id,
+                              "job_id": job.id})
+                threading.Thread(
+                    target=self._ws_stream_job, args=(ws, job), daemon=True
+                ).start()
+            elif mtype == "subscribe":
+                job = self._find_session_job(message.get("session_id"))
+                if job is None:
+                    ws.send_json({"type": "error",
+                                  "error": "Session not found or not streaming"})
+                else:
+                    threading.Thread(
+                        target=self._ws_stream_job, args=(ws, job), daemon=True
+                    ).start()
+            else:
+                ws.send_json({"type": "error", "error": f"Unknown message type: {mtype}"})
+
+    @staticmethod
+    def _find_session_job(session_id):
+        session = MANAGER.sessions.get(session_id)
+        if not session or not session["jobs"]:
+            return None
+        return MANAGER.jobs.get(session["jobs"][-1])
+
+    @staticmethod
+    def _ws_stream_job(ws, job: Job):
+        while True:
+            chunk = job.chunks.get()
+            if chunk is None:
+                break
+            ws.send_json({"type": "session_update", "session_id": job.session_id, **chunk})
+        ws.send_json({"type": "session_complete", "session_id": job.session_id,
+                      "status": job.status})
 
     def _stream_job(self, job: Job, header_extra: dict | None = None):
         self.send_response(200)

@@ -277,3 +277,68 @@ def test_trainer_save_load(tmp_path):
     tr2 = Trainer(SystemA(hidden=4, horizon=1), window=8, seed=99)
     tr2.load(p)
     np.testing.assert_allclose(tr2.predict(w[0]), pred_before, rtol=1e-6)
+
+
+def _ws_connect(http_server):
+    import socket
+    from urllib.parse import urlparse
+
+    from sublinear_tpu.interfaces.websocket import WebSocketConnection
+
+    u = urlparse(http_server)
+    sock = socket.create_connection((u.hostname, u.port), timeout=60)
+    sock.sendall(
+        (f"GET /ws HTTP/1.1\r\nHost: {u.hostname}:{u.port}\r\n"
+         "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+         "Sec-WebSocket-Key: dGhlIHNhbXBsZSBub25jZQ==\r\n"
+         "Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    f = sock.makefile("rwb")
+    status = f.readline()
+    assert b"101" in status, status
+    while f.readline().strip():
+        pass  # drain handshake headers
+    return sock, WebSocketConnection(f, f)
+
+
+def _ws_send(ws, obj):
+    from sublinear_tpu.interfaces.websocket import client_frame
+
+    with ws.send_lock:
+        ws.wfile.write(client_frame(json.dumps(obj).encode()))
+        ws.wfile.flush()
+
+
+def _ws_recv(ws):
+    msg = ws.read_message()
+    assert msg is not None
+    return json.loads(msg[1].decode())
+
+
+def test_websocket_protocol(http_server):
+    """welcome / ping-pong / solve -> solve_started + session_update stream
+    (reference server/index.js:449-596)."""
+    sock, ws = _ws_connect(http_server)
+    try:
+        assert _ws_recv(ws)["type"] == "welcome"
+        _ws_send(ws, {"type": "ping"})
+        assert _ws_recv(ws)["type"] == "pong"
+        _ws_send(ws, {"type": "bogus"})
+        assert "Unknown message type" in _ws_recv(ws)["error"]
+
+        A = slt.generate("random-sparse", 24, seed=3, density=0.15)
+        b = slt.rhs(24, seed=3)
+        _ws_send(ws, {"type": "solve", "matrix": A.to_dict(), "vector": b.tolist(),
+                      "method": "conjugate-gradient"})
+        started = _ws_recv(ws)
+        assert started["type"] == "solve_started" and started["session_id"]
+        updates = []
+        while True:
+            doc = _ws_recv(ws)
+            if doc["type"] == "session_complete":
+                assert doc["status"] == "completed"
+                break
+            assert doc["type"] == "session_update"
+            updates.append(doc)
+        assert updates and updates[-1]["converged"] is True
+    finally:
+        sock.close()
