@@ -97,3 +97,48 @@ def test_system_b_gated_prediction():
     assert np.isfinite(pred).all()
     # gate tracked the verification
     assert sysb.gate.stats.total >= 1
+
+
+def test_quantization_roundtrip_schemes():
+    from sublinear_tpu.models import quantization_error, quantize_tree
+
+    model = SystemA(hidden=16, arch="gru", horizon=1)
+    trainer = Trainer(model, window=16, features=1)
+    params = trainer.state.params["params"]
+    errors = {}
+    for scheme in ["int8", "int4", "binary"]:
+        qp = quantize_tree(params, scheme=scheme)
+        info = quantization_error(params, qp)
+        errors[scheme] = info["relative_l2_error"]
+        assert info["size_bytes"] > 0
+    # error ordering: int8 < int4 < binary; int8 must be tight
+    assert errors["int8"] < 0.01
+    assert errors["int8"] < errors["int4"] < errors["binary"]
+
+
+def test_quantized_inference_matches_f32():
+    from sublinear_tpu.models import quantize_tree, quantized_apply
+
+    t = np.arange(400, dtype=np.float32)
+    series = np.sin(2 * np.pi * t / 25)
+    windows, targets = make_windows(series, window=16, horizon=1)
+    model = SystemA(hidden=16, arch="gru", horizon=1)
+    trainer = Trainer(model, window=16, features=1, learning_rate=5e-3)
+    trainer.fit(windows[:256], targets[:256], epochs=4, batch_size=64)
+
+    w = np.asarray(windows[300], dtype=np.float32)
+    full = np.asarray(trainer.predict(w))
+    qp = quantize_tree(trainer.state.params["params"], scheme="int8")
+    quant = np.asarray(quantized_apply(model.apply, qp, jnp.asarray(w)))
+    assert quant.shape == full.shape
+    np.testing.assert_allclose(quant, full, atol=0.05)
+
+
+def test_quantize_rejects_bad_scheme_and_empty():
+    from sublinear_tpu.errors import InvalidParametersError
+    from sublinear_tpu.models import quantize_tree
+
+    with pytest.raises(InvalidParametersError):
+        quantize_tree({"w": np.ones((4, 4), np.float32)}, scheme="int2")
+    with pytest.raises(InvalidParametersError):
+        quantize_tree({}, scheme="int8")
