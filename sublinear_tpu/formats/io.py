@@ -19,6 +19,8 @@ def load_matrix(path: str) -> Matrix:
         return read_matrix_market(p)
     if p.endswith(".csv"):
         return read_csv(p)
+    if p.endswith(".gml"):
+        return read_gml(p)
     with open(p) as f:
         data = json.load(f)
     if isinstance(data, dict):

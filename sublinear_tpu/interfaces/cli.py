@@ -221,6 +221,41 @@ def cmd_convert(args):
     return 0
 
 
+def cmd_predict(args):
+    """Prediction with temporal-advantage report (temporal-cli `predict`
+    parity, /root/reference/temporal-lead-solver/src/bin/cli.rs:126-170)."""
+    import numpy as np
+
+    from ..formats.io import load_matrix, load_vector
+    from ..queries.temporal import predict_with_temporal_advantage
+    from ..types import SolverOptions
+
+    if args.matrix:
+        matrix = load_matrix(args.matrix)
+        vector = load_vector(args.vector) if args.vector else np.ones(matrix.shape[0])
+    else:
+        import sublinear_tpu as slt
+
+        matrix = slt.generate("diagonally-dominant", args.size, seed=args.seed)
+        vector = slt.rhs(args.size, seed=args.seed)
+    out = predict_with_temporal_advantage(
+        matrix, vector, distance_km=args.distance,
+        options=SolverOptions(epsilon=args.epsilon),
+    )
+    # causality note (reference validate_causality, predictor.rs:363): the
+    # prediction uses locally-available data only — no FTL information flow.
+    out["causality"] = {
+        "valid": True,
+        "note": "prediction computed from locally available matrix/vector data; "
+                "no information travels faster than light",
+    }
+    if not args.full:
+        out.pop("solution", None)
+    json.dump(out, sys.stdout, indent=2 if args.pretty else None)
+    print()
+    return 0 if out["converged"] else 1
+
+
 def cmd_prove(args):
     """Temporal-lead certificate (temporal-cli `prove` parity)."""
     from ..queries.temporal import prove_temporal_lead
@@ -322,6 +357,17 @@ def build_parser():
     s.add_argument("-o", "--output", required=True)
     s.add_argument("-f", "--format", choices=["json", "csv", "mtx"])
     s.set_defaults(fn=cmd_convert)
+
+    s = sub.add_parser("predict", help="solve with temporal-advantage report")
+    s.add_argument("-s", "--size", type=int, default=1000)
+    s.add_argument("-m", "--matrix", help="matrix file (json/mtx/csv/gml); generated if omitted")
+    s.add_argument("-b", "--vector", help="RHS file; ones if omitted")
+    s.add_argument("-d", "--distance", type=float, default=10900)
+    s.add_argument("-e", "--epsilon", type=float, default=1e-6)
+    s.add_argument("--seed", type=int, default=0)
+    s.add_argument("--full", action="store_true", help="include full solution vector")
+    s.add_argument("--pretty", action="store_true")
+    s.set_defaults(fn=cmd_predict)
 
     s = sub.add_parser("prove", help="temporal-lead certificate")
     s.add_argument("-s", "--size", type=int, default=1000)

@@ -342,3 +342,26 @@ def test_websocket_protocol(http_server):
         assert updates and updates[-1]["converged"] is True
     finally:
         sock.close()
+
+
+def test_cli_predict_temporal(tmp_path):
+    """temporal-cli `predict` parity (cli.rs:126-170)."""
+    proc = run_cli(["predict", "-s", "64", "-d", "10900"])
+    assert proc.returncode == 0, proc.stderr
+    doc = json.loads(proc.stdout)
+    assert doc["converged"] is True
+    assert doc["lightTravelTimeMs"] > 30  # 10,900 km is ~36.4 ms of light time
+    assert doc["causality"]["valid"] is True
+    assert "solution" not in doc  # --full not passed
+
+
+def test_load_matrix_routes_gml(tmp_path):
+    from sublinear_tpu.formats.io import load_matrix
+
+    p = tmp_path / "g.gml"
+    p.write_text(
+        "graph [\n directed 1\n node [ id 0 ]\n node [ id 1 ]\n"
+        " edge [ source 0 target 1 value 2.5 ]\n]\n")
+    A = load_matrix(str(p))
+    assert A.shape == (2, 2)
+    assert A.csr.to_dense()[0, 1] == 2.5
