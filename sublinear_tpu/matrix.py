@@ -30,8 +30,9 @@ class Matrix:
 
     def __init__(self, csr: CSR, prefer: Optional[str] = None):
         self.csr = csr
-        self._prefer = prefer  # None | 'dense' | 'ell'
+        self._prefer = prefer  # None | 'dense' | 'ell' | 'dia'
         self._ops: dict = {}
+        self._dia_offsets: Optional[tuple] = ()  # () = unprobed, None = ineligible
         self._transpose_csr: Optional[CSR] = None
         # serving layers share Matrix objects across threads
         import threading
@@ -118,22 +119,69 @@ class Matrix:
         # moderately sized but dense enough that ELL would be dense anyway
         return max(n, m) <= 4 * DENSE_THRESHOLD and self.density > 0.25
 
+    def _dia_eligible(self):
+        """Distinct-offset tuple when A is exactly diagonal-representable
+        (banded/tridiagonal/Laplacian), else None.  Probed once."""
+        if self._dia_offsets == ():
+            from .formats.dia import dia_offsets
+
+            offs = dia_offsets(self.csr)
+            self._dia_offsets = None if offs is None else tuple(int(o) for o in offs)
+        return self._dia_offsets
+
+    def _op_kind(self) -> str:
+        if self._prefer in ("dense", "ell", "dia"):
+            return self._prefer
+        # DIA beats both dense and gather paths whenever it applies: the
+        # matvec is D shifted streaming multiply-adds with zero gathers.
+        if self._dia_eligible() is not None:
+            return "dia"
+        return "dense" if self._use_dense() else "ell"
+
     def op(self, dtype=None, transpose: bool = False):
         """Device operator (cached per (dtype, transpose, kind))."""
         from .config import resolve_dtype
 
         dt = resolve_dtype(dtype)
-        kind = "dense" if self._use_dense() else "ell"
+        kind = self._op_kind()
         key = (str(dt), bool(transpose), kind)
         if key not in self._ops:
             with self._lock:
                 if key not in self._ops:
                     csr = self.T_csr() if transpose else self.csr
-                    if kind == "dense":
+                    if kind == "dia":
+                        from .formats.dia import dia_from_csr
+
+                        self._ops[key] = dia_from_csr(csr, dt)
+                    elif kind == "dense":
                         self._ops[key] = _ell.dense_from_csr(csr, dt)
                     else:
                         self._ops[key] = _ell.ell_from_csr(csr, dt)
         return self._ops[key]
+
+    def reorder_rcm(self):
+        """Bandwidth-reducing symmetric permutation (reverse Cuthill-McKee,
+        host-side C++ with NumPy fallback).
+
+        Returns ``(B, perm)`` where ``B = P A P^T`` (``B[i, j] =
+        A[perm[i], perm[j]]``).  To solve ``A x = b``: solve
+        ``B y = b[perm]`` then ``x[perm] = y``.  Pairs with the DIA
+        operator: RCM often shrinks a mesh/graph matrix's bandwidth enough
+        that the zero-gather diagonal path applies (ARCHITECTURE.md
+        "gather wall", escape #2)."""
+        if not self.is_square():
+            from .errors import InvalidMatrixError
+
+            raise InvalidMatrixError("RCM reordering requires a square matrix")
+        from .native import rcm_ordering
+
+        csr, t = self.csr, self.T_csr()
+        n = csr.shape[0]
+        perm = rcm_ordering(csr.indptr, csr.indices, t.indptr, t.indices, n)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        rows, cols, vals = csr.to_coo()
+        return Matrix.from_coo(inv[rows], inv[cols], vals, self.shape), perm
 
     def T_csr(self) -> CSR:
         if self._transpose_csr is None:

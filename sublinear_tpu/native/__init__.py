@@ -52,6 +52,8 @@ def get_lib():
     ]
     lib.row_positions.restype = None
     lib.row_positions.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
+    lib.rcm_ordering.restype = None
+    lib.rcm_ordering.argtypes = [i64p, i32p, i64p, i32p, ctypes.c_int64, i64p]
     _lib = lib
     return _lib
 
@@ -102,3 +104,47 @@ def dijkstra_multi_source(indptr, indices, data, n, sources, source_vals, bound=
         len(np.atleast_1d(sources)), float(bound), dist, srcval,
     )
     return dist, srcval
+
+
+def rcm_ordering(indptr, indices, t_indptr, t_indices, n):
+    """Reverse Cuthill-McKee permutation (perm[new] = old) over the
+    symmetrized pattern.  Native C++ with a pure-NumPy BFS fallback."""
+    lib = get_lib()
+    if lib is not None:
+        perm = np.zeros(n, dtype=np.int64)
+        lib.rcm_ordering(
+            np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32),
+            np.ascontiguousarray(t_indptr, np.int64),
+            np.ascontiguousarray(t_indices, np.int32),
+            n, perm,
+        )
+        return perm
+    # fallback: same algorithm in python
+    indptr = np.asarray(indptr); indices = np.asarray(indices)
+    t_indptr = np.asarray(t_indptr); t_indices = np.asarray(t_indices)
+    degree = (indptr[1:] - indptr[:-1]) + (t_indptr[1:] - t_indptr[:-1])
+    visited = np.zeros(n, dtype=bool)
+    order = []
+    for s in np.lexsort((np.arange(n), degree)):
+        if visited[s]:
+            continue
+        visited[s] = True
+        order.append(int(s))
+        head = len(order) - 1
+        while head < len(order):
+            u = order[head]
+            head += 1
+            nbrs = np.concatenate([
+                indices[indptr[u]:indptr[u + 1]],
+                t_indices[t_indptr[u]:t_indptr[u + 1]],
+            ])
+            fresh = []
+            for v in nbrs:
+                v = int(v)
+                if v != u and not visited[v]:
+                    visited[v] = True
+                    fresh.append(v)
+            fresh.sort(key=lambda v: (degree[v], v))
+            order.extend(fresh)
+    return np.asarray(order[::-1], dtype=np.int64)

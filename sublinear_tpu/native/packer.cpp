@@ -133,4 +133,53 @@ void row_positions(const int64_t* indptr, int64_t n, int64_t nnz, int64_t* pos) 
     }
 }
 
+// Reverse Cuthill-McKee ordering over the symmetrized pattern (indptr/indices
+// = A, t_indptr/t_indices = A^T so asymmetric patterns work).  BFS from a
+// minimum-degree node per component, neighbors visited in ascending-degree
+// order, final order reversed.  Writes the permutation (perm[new] = old).
+void rcm_ordering(
+    const int64_t* indptr, const int32_t* indices,
+    const int64_t* t_indptr, const int32_t* t_indices,
+    int64_t n, int64_t* perm
+) {
+    std::vector<int64_t> degree(n);
+    for (int64_t i = 0; i < n; ++i)
+        degree[i] = (indptr[i + 1] - indptr[i]) + (t_indptr[i + 1] - t_indptr[i]);
+    std::vector<char> visited(n, 0);
+    std::vector<int64_t> order;
+    order.reserve(n);
+    std::vector<int64_t> nbrs;
+
+    // process components from lowest-degree unvisited seeds
+    std::vector<int64_t> seeds(n);
+    for (int64_t i = 0; i < n; ++i) seeds[i] = i;
+    std::sort(seeds.begin(), seeds.end(), [&](int64_t a, int64_t b) {
+        return degree[a] < degree[b] || (degree[a] == degree[b] && a < b);
+    });
+
+    size_t head = 0;
+    for (int64_t s : seeds) {
+        if (visited[s]) continue;
+        visited[s] = 1;
+        order.push_back(s);
+        while (head < order.size()) {
+            int64_t u = order[head++];
+            nbrs.clear();
+            for (int64_t k = indptr[u]; k < indptr[u + 1]; ++k) {
+                int64_t v = indices[k];
+                if (v != u && !visited[v]) { visited[v] = 1; nbrs.push_back(v); }
+            }
+            for (int64_t k = t_indptr[u]; k < t_indptr[u + 1]; ++k) {
+                int64_t v = t_indices[k];
+                if (v != u && !visited[v]) { visited[v] = 1; nbrs.push_back(v); }
+            }
+            std::sort(nbrs.begin(), nbrs.end(), [&](int64_t a, int64_t b) {
+                return degree[a] < degree[b] || (degree[a] == degree[b] && a < b);
+            });
+            for (int64_t v : nbrs) order.push_back(v);
+        }
+    }
+    for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
+}
+
 }  // extern "C"

@@ -92,6 +92,32 @@ def solve(
     m = options.method
     if m == Method.ADAPTIVE:
         m = select_method(matrix, b)
+        # Robust fallback ladder (reference: adaptive Jacobi->CG switching,
+        # src/solver.js:537-590): if the structurally-selected method stalls
+        # (e.g. Chebyshev's f32 floor on weakly-DD systems), warm-start a
+        # Krylov polish from the failed iterate rather than surfacing E002
+        # for a system Krylov handles fine.
+        if m not in (Method.CG, Method.BICGSTAB, Method.BMSSP):
+            import dataclasses
+
+            first = solve(
+                matrix, b, dataclasses.replace(options, method=m), raise_on_fail=False
+            )
+            if first.converged:
+                return first
+            x0 = (
+                np.asarray(first.solution)
+                if np.all(np.isfinite(first.solution))
+                else None
+            )
+            polish = dataclasses.replace(options, method=Method.CG, x0=x0)
+            result = solve(matrix, b, polish, raise_on_fail=raise_on_fail)
+            return dataclasses.replace(
+                result,
+                iterations=result.iterations + first.iterations,
+                method=f"adaptive({first.method}->{result.method})",
+                compute_time_ms=result.compute_time_ms + first.compute_time_ms,
+            )
 
     if m in _DD_REQUIRED:
         a = analyze(matrix, estimate_condition=False)

@@ -170,3 +170,67 @@ def test_duplicate_and_unsorted_triplets():
     # unsorted + duplicated COO input is normalized
     A = slt.Matrix.from_coo([1, 0, 1, 0], [0, 1, 0, 0], [1.0, 2.0, 3.0, 5.0], (2, 2))
     np.testing.assert_allclose(A.to_dense(), [[5.0, 2.0], [4.0, 0.0]])
+
+
+# ------------------------------------------------------------------- DIA
+def test_dia_eligibility():
+    from sublinear_tpu.formats.dia import dia_offsets
+
+    tri = slt.generate("tridiagonal", 64)
+    offs = dia_offsets(tri.csr)
+    assert offs is not None and set(offs) == {-1, 0, 1}
+    rnd = slt.generate("random-sparse", 512, seed=1, density=0.05)
+    assert dia_offsets(rnd.csr) is None  # too many distinct offsets
+
+
+def test_dia_matvec_matches_csr_oracle():
+    import jax.numpy as jnp
+
+    from sublinear_tpu.formats.dia import dia_from_csr
+
+    from sublinear_tpu.generate import catalog_matrix
+
+    for name, n in [("tridiagonal", 100), ("banded", 130), ("laplacian_1d", 96)]:
+        A = catalog_matrix(name, n, seed=2)
+        op = dia_from_csr(A.csr)
+        x = slt.rhs(n, seed=3)
+        xp = A.pad_vector(x)
+        y = np.asarray(op.matvec(xp))[:n]
+        np.testing.assert_allclose(y, A.csr.matvec(x), rtol=1e-5, atol=1e-6)
+        # offdiag + matmat
+        yo = np.asarray(op.offdiag_matvec(xp))[:n]
+        D = A.csr.diagonal_vector()
+        np.testing.assert_allclose(yo, A.csr.matvec(x) - D * x, rtol=1e-5, atol=1e-6)
+        X = np.stack([x, -x, 2 * x], axis=1)
+        Xp = np.zeros((op.n_pad, 3)); Xp[:n] = X
+        Y = np.asarray(op.matmat(jnp.asarray(Xp, op.dtype)))[:n]
+        np.testing.assert_allclose(Y, A.csr.to_dense() @ X, rtol=1e-5, atol=1e-5)
+
+
+def test_dia_autoselected_and_solves():
+    from sublinear_tpu.formats.dia import DiaOperator
+
+    A = slt.Matrix(slt.generate("tridiagonal", 300).csr.add_diagonal(0.5))
+    assert isinstance(A.op(), DiaOperator)
+    b = slt.rhs(300, seed=4)
+    for method in ["neumann", "conjugate-gradient", "jacobi"]:
+        r = slt.solve(A, b, method=method, epsilon=1e-6)
+        assert r.converged, method
+        rel = np.linalg.norm(A.csr.matvec(r.solution) - b) / np.linalg.norm(b)
+        assert rel < 1e-5, (method, rel)
+
+
+def test_dia_asymmetric_offsets():
+    # strictly upper bidiagonal + diag: offsets {0, 3}
+    n = 40
+    rows = list(range(n)) + list(range(n - 3))
+    cols = list(range(n)) + [i + 3 for i in range(n - 3)]
+    vals = [4.0] * n + [-1.0] * (n - 3)
+    A = slt.Matrix.from_coo(rows, cols, vals, (n, n))
+    from sublinear_tpu.formats.dia import DiaOperator
+
+    op = A.op()
+    assert isinstance(op, DiaOperator) and op.offsets == (0, 3)
+    x = slt.rhs(n, seed=5)
+    y = np.asarray(op.matvec(A.pad_vector(x)))[:n]
+    np.testing.assert_allclose(y, A.csr.matvec(x), rtol=1e-5, atol=1e-6)

@@ -51,3 +51,52 @@ def test_native_dijkstra_matches_device_bellman_ford():
     )
     reach = dist_nat < 1e29
     np.testing.assert_allclose(dist_dev[:n][reach], dist_nat[reach], rtol=1e-4)
+
+
+def test_rcm_reduces_bandwidth_and_solves():
+    """RCM on a randomly-permuted tridiagonal system recovers a small
+    bandwidth, re-enabling the zero-gather DIA operator."""
+    import numpy as np
+    import sublinear_tpu as slt
+    from sublinear_tpu.formats.dia import DiaOperator
+
+    n = 200
+    rng = np.random.default_rng(3)
+    scramble = rng.permutation(n)
+    T = slt.generate("tridiagonal", n).csr.add_diagonal(0.5)
+    rows, cols, vals = T.to_coo()
+    A = slt.Matrix.from_coo(scramble[rows], scramble[cols], vals, (n, n))
+    assert A.csr.bandwidth() > 50  # scrambled: huge bandwidth
+
+    B, perm = A.reorder_rcm()
+    assert B.csr.bandwidth() <= 2  # RCM recovers the chain ordering
+    assert isinstance(B.op(), DiaOperator)
+
+    # permuted-solve equivalence: solve B y = b[perm]; x[perm] = y
+    b = slt.rhs(n, seed=4)
+    r = slt.solve(B, np.asarray(b)[perm], method="conjugate-gradient", epsilon=1e-7)
+    x = np.empty(n)
+    x[perm] = r.solution
+    rel = np.linalg.norm(A.csr.matvec(x) - b) / np.linalg.norm(b)
+    assert rel < 1e-5
+
+
+def test_rcm_python_fallback_matches_native():
+    import numpy as np
+    import sublinear_tpu as slt
+    from sublinear_tpu import native
+
+    A = slt.generate("random-sparse", 60, seed=7, density=0.1)
+    csr, t = A.csr, A.csr.transpose()
+    if native.available():
+        p_native = native.rcm_ordering(csr.indptr, csr.indices, t.indptr, t.indices, 60)
+        lib = native._lib
+        native._lib = None  # force fallback
+        try:
+            p_py = native.rcm_ordering(csr.indptr, csr.indices, t.indptr, t.indices, 60)
+        finally:
+            native._lib = lib
+        np.testing.assert_array_equal(p_native, p_py)
+    else:
+        p = native.rcm_ordering(csr.indptr, csr.indices, t.indptr, t.indices, 60)
+        assert sorted(p) == list(range(60))

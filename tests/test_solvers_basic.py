@@ -76,6 +76,20 @@ def test_adaptive_dispatch_picks_something_that_converges():
     np.testing.assert_allclose(result.solution, x_ref, rtol=SOL_RTOL, atol=1e-4)
 
 
+def test_adaptive_fallback_polishes_stalled_method():
+    """Weakly-DD 1-D Laplacian: adaptive selects Chebyshev, which floors in
+    f32 above tight tolerances; the fallback ladder must warm-start a Krylov
+    polish instead of surfacing E002 (reference: adaptive Jacobi->CG
+    switching, src/solver.js:537-590)."""
+    n = 64
+    A = slt.generate("tridiagonal", n)
+    b = np.ones(n)
+    result = slt.solve(A, b, method="adaptive", epsilon=1e-6)
+    assert result.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(result.solution, x_ref, rtol=1e-3, atol=1e-3)
+
+
 def test_warm_restart_x0():
     """update_rhs-style warm start (reference: neumann.rs:436-462)."""
     A, b, x_ref = make_dd_system(n=64, density=0.1, seed=5)
