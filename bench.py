@@ -1,22 +1,24 @@
-"""Headline benchmark (BASELINE config #1): solve the generated 1000x1000
-sparse diagonally-dominant system to 1e-6 relative residual.
+"""Headline benchmark: the reference's solve ladder, single-RHS to 1e-6.
 
-Prints ONE JSON line:
-  {"metric": "solve_dd_1000x1000_ms", "value": <ms/solve>, "unit": "ms",
-   "vs_baseline": <reference_ms / ours_ms>}
+Rows (matching /root/reference/README.md:357-361 and
+docs/benchmarks/BENCHMARK_REPORT.md:29-37):
+  n=1,000   density 1e-3   reference best (Rust-WASM) 0.63 ms
+  n=10,000  density 1e-3   reference best (Rust)      4.1  ms
+  n=100,000 density 1e-4   reference best (Rust)      9.2  ms
 
-vs_baseline compares against the reference's best published number for this
-config (Rust-WASM 0.63 ms, /root/reference/README.md:357-359); > 1.0 means we
-are faster than the reference.
+Prints ONE JSON line.  The headline metric is the n=100k row (the regime the
+round-1 verdict flagged); the full ladder rides in "ladder".
 
 Timing protocol (the dev tunnel requires care):
-  - independent solves (RHS varied per repetition so nothing can be
-    cached/CSE'd) run inside ONE jitted vmapped program;
-  - synchronization is a host fetch of a scalar that depends on every solve
-    (block_until_ready does NOT guarantee completion through the tunnel);
-  - per-solve time is the SLOPE between a REPS-solve batch and a 2*REPS-solve
-    batch: (t_big - t_small) / REPS.  The constant tunnel round-trip cancels
-    exactly, unlike subtracting a floor measured on a different program.
+  - block_until_ready does NOT guarantee completion through the tunnel;
+    synchronization is a host fetch of a scalar depending on every solve;
+  - per-solve time is the SLOPE between a short chain and a long chain of
+    solves inside one jitted program: (t_long - t_short)/(R_long - R_short);
+    the constant RPC round-trip cancels exactly;
+  - chained solves are SERIALIZED (each RHS depends on the previous solution)
+    so the slope measures single-solve latency, not overlapped throughput;
+  - every repetition's residual is verified against the 1e-6 relative
+    threshold; failure poisons the metric to inf.
 Extra diagnostics go to stderr; stdout is the single JSON line.
 """
 import json
@@ -25,43 +27,40 @@ import time
 
 import numpy as np
 
-N = 1000
-DENSITY = 0.001
 EPSILON = 1e-6
-REPS = 32768  # small batch; large batch is 2*REPS (sized so device compute >> tunnel jitter)
-BASELINE_MS = 0.63  # Rust-WASM, reference README.md:359
+LADDER = [
+    # (n, density, reference_best_ms, neumann_iters_or_None->cg, chain_reps)
+    (1_000, 1e-3, 0.63),
+    (10_000, 1e-3, 4.1),
+    (100_000, 1e-4, 9.2),
+]
+HEADLINE = "solve_dd_100000x100000_ms"
 
 
-def main():
+def sync_scalar(x):
+    import jax
+
+    return float(np.asarray(jax.device_get(x)))
+
+
+def bench_vmapped_small(A, b, reps=32768, iters=16):
+    """n=1000: vmapped batch of independent Neumann solves (VMEM-resident
+    operator); per-solve = slope between reps and 2*reps batches."""
     import jax
     import jax.numpy as jnp
 
-    import sublinear_tpu as slt
     from sublinear_tpu.solvers import base as sbase
+    import sublinear_tpu as slt
 
-    t_setup = time.perf_counter()
-    A = slt.generate("random-sparse", N, seed=7, density=DENSITY)
-    b = slt.rhs(N, seed=7)
     op = A.op()
     b_pad = A.pad_vector(b)
     threshold = sbase.threshold_for(b, slt.SolverOptions(epsilon=EPSILON))
-    print(f"setup {1e3 * (time.perf_counter() - t_setup):.0f}ms nnz={A.nnz}", file=sys.stderr)
 
-    scales_small_np = np.linspace(0.5, 2.0, REPS)
-    scales_big_np = np.linspace(0.5, 2.0, 2 * REPS)
-    scales_small = jnp.asarray(scales_small_np, op.dtype)
-    scales_big = jnp.asarray(scales_big_np, op.dtype)
-
-    # Fixed-iteration Neumann series (ITERS chosen with margin over the ~10
-    # this system needs), vmapped over all REPS right-hand sides: the whole
-    # benchmark is one batched-matmul program — trivial to compile (scans of
-    # while_loops take minutes on the remote-compile service) — and the
-    # correctness gate below still verifies every repetition reached the
-    # 1e-6 threshold.
-    ITERS = 16
+    def scales(r):
+        return jnp.asarray(np.linspace(0.5, 2.0, r), op.dtype)
 
     @jax.jit
-    def run_many(op, b_pad, scales):
+    def run_many(op, b_pad, sc):
         inv_d = op.inv_diag
 
         def one(scale):
@@ -73,68 +72,107 @@ def main():
                 term = -inv_d * op.offdiag_matvec(term)
                 return x + term, term
 
-            x, _ = jax.lax.fori_loop(0, ITERS, step, (term0, term0))
-            res = jnp.linalg.norm(op.matvec(x) - bs)
-            return x[0], res
+            x, _ = jax.lax.fori_loop(0, iters, step, (term0, term0))
+            return x[0], jnp.linalg.norm(op.matvec(x) - bs)
 
-        probes, ress = jax.vmap(one)(scales)
-        ks = jnp.full(scales.shape, ITERS, jnp.int32)
-        return jnp.sum(probes), ks, ress
+        probes, ress = jax.vmap(one)(sc)
+        return jnp.sum(probes), ress
 
-    def sync_run(fn, *args):
-        """Execute and block on a real host fetch of a dependent scalar."""
-        out = fn(*args)
-        float(np.asarray(jax.device_get(out[0] if isinstance(out, tuple) else out)))
-        return out
-
-    # compile + warmup (both batch shapes)
-    t0 = time.perf_counter()
-    out = sync_run(run_many, op, b_pad, scales_small)
-    out_big = sync_run(run_many, op, b_pad, scales_big)
-    print(f"compile+first {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    def time_batch(scales, rep):
-        sc = scales * (1.0 + 0.01 * (rep + 1))
-        t0 = time.perf_counter()
-        sync_run(run_many, op, b_pad, sc)
-        return time.perf_counter() - t0
-
-    # Interleave small/big timings so drift affects both equally; the
-    # per-solve time is the slope, which cancels the constant RPC round-trip.
-    t_small, t_big = [], []
+    s_small, s_big = scales(reps), scales(2 * reps)
+    out_small = run_many(op, b_pad, s_small); sync_scalar(out_small[0])
+    out_big = run_many(op, b_pad, s_big); sync_scalar(out_big[0])
+    t_s, t_b = [], []
     for rep in range(5):
-        t_small.append(time_batch(scales_small, rep))
-        t_big.append(time_batch(scales_big, rep))
-    per_solve_ms = max(min(t_big) - min(t_small), 1e-9) / REPS * 1e3
-    print(
-        f"small {[f'{t*1e3:.2f}' for t in t_small]}ms big {[f'{t*1e3:.2f}' for t in t_big]}ms",
-        file=sys.stderr,
-    )
+        t0 = time.perf_counter(); sync_scalar(run_many(op, b_pad, s_small * (1 + 0.01 * rep))[0]); t_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync_scalar(run_many(op, b_pad, s_big * (1 + 0.01 * rep))[0]); t_b.append(time.perf_counter() - t0)
+    per_ms = max(min(t_b) - min(t_s), 1e-9) / reps * 1e3
+    ress = np.asarray(out_big[1])
+    ok = bool(np.all(ress <= threshold * np.linspace(0.5, 2.0, 2 * reps) * 1.05))
+    return per_ms, ok, float(ress.max())
 
-    _, ks, ress = out_big
-    ks = np.asarray(jax.device_get(ks))
-    ress = np.asarray(jax.device_get(ress))
-    # correctness gate: every repetition must actually converge
-    # (margin covers the per-run input perturbation above)
-    ok = bool(np.all(ress <= np.asarray(threshold) * scales_big_np * 1.05))
-    print(
-        f"iters={ks.min()}..{ks.max()} max_res={ress.max():.2e} converged={ok} "
-        f"per_solve={per_solve_ms:.4f}ms",
-        file=sys.stderr,
-    )
-    if not ok:
-        per_solve_ms = float("inf")
 
-    print(
-        json.dumps(
-            {
-                "metric": "solve_dd_1000x1000_ms",
-                "value": round(per_solve_ms, 4),
-                "unit": "ms",
-                "vs_baseline": round(BASELINE_MS / per_solve_ms, 3) if per_solve_ms > 0 else 0.0,
-            }
-        )
-    )
+def bench_chain_neumann(A, b, r_short, r_long, iters):
+    """Large n: serialized chain of fixed-iteration Neumann solves through
+    the auto-selected operator (the crossbar kernel above the dense regime).
+    Neumann fits these asymmetric DD systems (x = sum (D^-1 R)^k D^-1 b);
+    every repetition's relative residual is verified at 1e-6."""
+    import jax
+    import jax.numpy as jnp
+
+    op = A.op()
+    b_pad = A.pad_vector(b)
+
+    def make_chain(R):
+        @jax.jit
+        def chain(b_pad, bump):
+            inv_d = op.inv_diag
+
+            def solve_one(carry, j):
+                prev, _ = carry
+                bs = b_pad * (1.0 + 0.01 * bump * (j + 1).astype(op.dtype)) + 1e-6 * prev
+                term0 = inv_d * bs
+
+                def step(_, st):
+                    x, term = st
+                    term = -inv_d * op.offdiag_matvec(term)
+                    return x + term, term
+
+                x, _ = jax.lax.fori_loop(0, iters, step, (term0, term0))
+                res = jnp.linalg.norm(op.matvec(x) - bs) / jnp.linalg.norm(bs)
+                return (x, res), res
+
+            (xf, _), ress = jax.lax.scan(solve_one, (jnp.zeros_like(b_pad), 0.0), jnp.arange(R))
+            return xf[0] + jnp.sum(ress) * 0.0, jnp.max(ress)
+        return chain
+
+    short, long_ = make_chain(r_short), make_chain(r_long)
+    o1 = short(b_pad, 1.0); sync_scalar(o1[0])
+    o2 = long_(b_pad, 1.0); sync_scalar(o2[0])
+    t_s, t_l = [], []
+    for rep in range(4):
+        t0 = time.perf_counter(); sync_scalar(short(b_pad, 1.0 + 0.1 * rep)[0]); t_s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); o2 = long_(b_pad, 1.0 + 0.1 * rep); sync_scalar(o2[0]); t_l.append(time.perf_counter() - t0)
+    per_ms = max(min(t_l) - min(t_s), 1e-9) / (r_long - r_short) * 1e3
+    max_res = sync_scalar(o2[1])
+    ok = max_res <= EPSILON * 1.5  # relative residual, margin for perturbation
+    return per_ms, ok, max_res
+
+
+def main():
+    import sublinear_tpu as slt
+
+    ladder_out = []
+    t_all = time.perf_counter()
+    for n, density, ref_ms in LADDER:
+        t0 = time.perf_counter()
+        A = slt.generate("random-sparse", n, seed=7, density=density)
+        b = slt.rhs(n, seed=7)
+        kind = A._op_kind()
+        print(f"n={n} kind={kind} nnz={A.nnz} setup={time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        if n <= 2000:
+            per_ms, ok, max_res = bench_vmapped_small(A, b)
+        elif n <= 20000:
+            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=8, r_long=40, iters=32)
+        else:
+            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=4, r_long=20, iters=32)
+        if not ok:
+            per_ms = float("inf")
+        ladder_out.append({
+            "n": n, "ms": round(per_ms, 4), "reference_ms": ref_ms,
+            "speedup": round(ref_ms / per_ms, 2) if per_ms > 0 else 0.0,
+            "max_res": f"{max_res:.2e}", "kind": kind,
+        })
+        print(f"  -> {per_ms:.4f} ms/solve (ref {ref_ms} ms, {ref_ms/per_ms:.1f}x) res={max_res:.2e}", file=sys.stderr)
+
+    head = ladder_out[-1]
+    print(f"total bench wall {time.perf_counter()-t_all:.0f}s", file=sys.stderr)
+    print(json.dumps({
+        "metric": HEADLINE,
+        "value": head["ms"],
+        "unit": "ms",
+        "vs_baseline": head["speedup"],
+        "ladder": ladder_out,
+    }))
 
 
 if __name__ == "__main__":

@@ -161,7 +161,7 @@ def bench_spmv(n: int = 100_000, nnz_per_row: int = 100, reps: int = 5, seed: in
         extra={
             "nnzPerSecond": nnz_per_s,
             "approxBandwidthGBs": bw / 1e9,
-            "slotCount": op.slot_count,
+            "slotCount": getattr(op, "slot_count", getattr(op, "K", 0)),
             "tailNnz": op.tail_nnz,
         },
     )

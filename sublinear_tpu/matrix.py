@@ -33,6 +33,7 @@ class Matrix:
         self._prefer = prefer  # None | 'dense' | 'ell' | 'dia'
         self._ops: dict = {}
         self._dia_offsets: Optional[tuple] = ()  # () = unprobed, None = ineligible
+        self._xbar_ok: Optional[bool] = None
         self._transpose_csr: Optional[CSR] = None
         # serving layers share Matrix objects across threads
         import threading
@@ -129,21 +130,47 @@ class Matrix:
             self._dia_offsets = None if offs is None else tuple(int(o) for o in offs)
         return self._dia_offsets
 
-    def _op_kind(self) -> str:
-        if self._prefer in ("dense", "ell", "dia"):
+    def _xbar_eligible(self) -> bool:
+        """Crossbar-routed SpMV eligibility: large irregular sparse matrices
+        where the XBAR kernel (ops/xbar.py) beats dense streaming and the
+        gather-based ELL path by 1-2 orders of magnitude."""
+        if self._xbar_ok is None:
+            from .ops.xbar import xbar_feasible
+
+            n, m = self.shape
+            if min(n, m) < 4096 or self.density > 0.02:
+                self._xbar_ok = False
+            else:
+                counts = np.bincount(self.csr.indices >> 7)
+                tcounts = np.bincount(self.csr.to_coo()[0] >> 7)
+                self._xbar_ok = bool(
+                    xbar_feasible(n, m, self.nnz, int(counts.max()))
+                    and xbar_feasible(m, n, self.nnz, int(tcounts.max()))
+                )
+        return self._xbar_ok
+
+    def _op_kind(self, batch: bool = False) -> str:
+        if self._prefer in ("dense", "ell", "dia", "xbar"):
             return self._prefer
         # DIA beats both dense and gather paths whenever it applies: the
         # matvec is D shifted streaming multiply-adds with zero gathers.
         if self._dia_eligible() is not None:
             return "dia"
+        # single-RHS large sparse: crossbar-routed gather kernel
+        if not batch and self._xbar_eligible():
+            return "xbar"
         return "dense" if self._use_dense() else "ell"
 
-    def op(self, dtype=None, transpose: bool = False):
-        """Device operator (cached per (dtype, transpose, kind))."""
+    def op(self, dtype=None, transpose: bool = False, batch: bool = False):
+        """Device operator (cached per (dtype, transpose, kind)).
+
+        ``batch=True`` requests the multi-RHS product path (ELL/dense SpMM);
+        the crossbar operator is single-RHS-optimized and excluded there.
+        """
         from .config import resolve_dtype
 
         dt = resolve_dtype(dtype)
-        kind = self._op_kind()
+        kind = self._op_kind(batch=batch)
         key = (str(dt), bool(transpose), kind)
         if key not in self._ops:
             with self._lock:
@@ -155,6 +182,13 @@ class Matrix:
                         self._ops[key] = dia_from_csr(csr, dt)
                     elif kind == "dense":
                         self._ops[key] = _ell.dense_from_csr(csr, dt)
+                    elif kind == "xbar":
+                        from .ops.xbar import xbar_from_csr
+
+                        op = xbar_from_csr(csr, dt)
+                        if op is None:  # routing infeasible: gather fallback
+                            op = _ell.ell_from_csr(csr, dt)
+                        self._ops[key] = op
                     else:
                         self._ops[key] = _ell.ell_from_csr(csr, dt)
         return self._ops[key]

@@ -355,7 +355,7 @@ def solve_batch(
             jnp.asarray(B_pad, op.dtype), NamedSharding(mesh, P(None, BATCH))
         )
     else:
-        op = matrix.op(options.dtype)
+        op = matrix.op(options.dtype, batch=True)
         B_width = max(nrhs, 8) if isinstance(op, EllOperator) else nrhs
         B_pad = np.zeros((op.n_pad, B_width))
         B_pad[:n, :nrhs] = B
