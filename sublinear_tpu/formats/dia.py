@@ -62,7 +62,7 @@ def dia_offsets(csr: CSR) -> np.ndarray | None:
 class DiaOperator:
     """Shifted-diagonal operator over the padded domain."""
 
-    def __init__(self, data, diag, inv_diag, *, offsets, shape, n_pad, m_pad):
+    def __init__(self, data, diag, inv_diag, *, offsets, shape, n_pad, m_pad, source_nnz=None):
         self.data = data          # (D, n_pad); data[d, i] = A[i, i + offsets[d]]
         self.diag = diag          # (n_pad,)
         self.inv_diag = inv_diag  # (n_pad,)
@@ -70,16 +70,20 @@ class DiaOperator:
         self.shape = shape
         self.n_pad = n_pad
         self.m_pad = m_pad
+        # true nonzero count of the source matrix (padded diagonal storage
+        # holds D * n_pad slots, which is not a work/stats estimate)
+        self.source_nnz = source_nnz
 
     # pytree protocol ------------------------------------------------------
     def tree_flatten(self):
-        return (self.data, self.diag, self.inv_diag), (self.offsets, self.shape, self.n_pad, self.m_pad)
+        return (self.data, self.diag, self.inv_diag), (self.offsets, self.shape, self.n_pad, self.m_pad, self.source_nnz)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        offsets, shape, n_pad, m_pad = aux
+        offsets, shape, n_pad, m_pad, source_nnz = aux
         data, diag, inv_diag = children
-        return cls(data, diag, inv_diag, offsets=offsets, shape=shape, n_pad=n_pad, m_pad=m_pad)
+        return cls(data, diag, inv_diag, offsets=offsets, shape=shape,
+                   n_pad=n_pad, m_pad=m_pad, source_nnz=source_nnz)
 
     # properties -----------------------------------------------------------
     @property
@@ -92,6 +96,8 @@ class DiaOperator:
 
     @property
     def nnz(self) -> int:
+        if self.source_nnz is not None:
+            return int(self.source_nnz)
         return int(self.data.shape[0] * self.data.shape[1])
 
     # products -------------------------------------------------------------
@@ -157,5 +163,5 @@ def dia_from_csr(csr: CSR, dtype=None, offsets: np.ndarray | None = None) -> Dia
     return DiaOperator(
         jnp.asarray(data, dt), diag, inv_diag,
         offsets=tuple(int(o) for o in offsets),
-        shape=csr.shape, n_pad=n_pad, m_pad=n_pad,
+        shape=csr.shape, n_pad=n_pad, m_pad=n_pad, source_nnz=csr.nnz,
     )

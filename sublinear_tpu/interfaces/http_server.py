@@ -32,14 +32,48 @@ import numpy as np
 
 
 class Job:
+    """Chunk log is a replayable list guarded by a condition variable: any
+    number of concurrent streamers (HTTP /stream consumers, WS solve
+    streamers, late WS subscribers) replay from their own cursor.  The
+    reference's single-consumer queue could silently hang a second
+    subscriber (server/session-manager.js getJobStream returns an error
+    instead); here late subscribers replay the full history."""
+
     def __init__(self, job_id: str, session_id: str):
         self.id = job_id
         self.session_id = session_id
         self.status = "pending"  # pending|running|completed|failed
-        self.chunks: "queue.Queue" = queue.Queue()
+        self.chunk_log: list = []
+        self.done = False
+        self.cond = threading.Condition()
         self.result = None
         self.error = None
         self.created = time.time()
+
+    def append_chunk(self, chunk: dict):
+        with self.cond:
+            self.chunk_log.append(chunk)
+            self.cond.notify_all()
+
+    def finish(self):
+        with self.cond:
+            self.done = True
+            self.cond.notify_all()
+
+    def iter_chunks(self, timeout: float = 600.0):
+        """Replay all chunks from the start, then follow live until done."""
+        cursor = 0
+        while True:
+            with self.cond:
+                while cursor >= len(self.chunk_log) and not self.done:
+                    if not self.cond.wait(timeout):
+                        return
+                if cursor < len(self.chunk_log):
+                    chunk = self.chunk_log[cursor]
+                    cursor += 1
+                else:
+                    return
+            yield chunk
 
 
 class SessionManager:
@@ -83,14 +117,14 @@ class SessionManager:
             last = None
             for chunk in streaming_solve(matrix, b, options, method=method):
                 last = chunk
-                job.chunks.put(chunk.to_dict())
+                job.append_chunk(chunk.to_dict())
             job.result = last.to_dict() if last else None
             job.status = "completed" if (last and last.converged) else "failed"
         except Exception as e:
             job.error = str(e)
             job.status = "failed"
         finally:
-            job.chunks.put(None)  # sentinel
+            job.finish()
 
 
 MANAGER = SessionManager()
@@ -278,10 +312,7 @@ class Handler(BaseHTTPRequestHandler):
 
     @staticmethod
     def _ws_stream_job(ws, job: Job):
-        while True:
-            chunk = job.chunks.get()
-            if chunk is None:
-                break
+        for chunk in job.iter_chunks():
             ws.send_json({"type": "session_update", "session_id": job.session_id, **chunk})
         ws.send_json({"type": "session_complete", "session_id": job.session_id,
                       "status": job.status})
@@ -299,10 +330,7 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
             self.wfile.flush()
 
-        while True:
-            chunk = job.chunks.get()
-            if chunk is None:
-                break
+        for chunk in job.iter_chunks():
             write_chunk(chunk)
         write_chunk({"done": True, "status": job.status, "jobId": job.id})
         self.wfile.write(b"0\r\n\r\n")

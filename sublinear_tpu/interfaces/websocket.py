@@ -97,10 +97,16 @@ class WebSocketConnection:
             buf += chunk
         return buf
 
+    # Reject frames/messages above this size with a 1009 close instead of
+    # trusting the client-declared 64-bit length (remote memory-exhaustion
+    # guard; the reference caps request bodies at the express layer,
+    # server/index.js:70-75).
+    MAX_MESSAGE_BYTES = 16 * 1024 * 1024
+
     def read_message(self):
         """Returns (opcode, payload bytes) for the next complete message;
         transparently answers pings.  None once the connection closes."""
-        payload = b""
+        payload = bytearray()
         opcode = None
         while True:
             try:
@@ -116,6 +122,12 @@ class WebSocketConnection:
                 (n,) = struct.unpack(">H", self._read_exact(2))
             elif n == 127:
                 (n,) = struct.unpack(">Q", self._read_exact(8))
+            if n + len(payload) > self.MAX_MESSAGE_BYTES:
+                try:
+                    self.send_frame(struct.pack(">H", 1009), OP_CLOSE)
+                finally:
+                    self.close()
+                return None
             mask = self._read_exact(4) if masked else None
             data = self._read_exact(n)
             if mask:
@@ -136,7 +148,7 @@ class WebSocketConnection:
                 opcode = op
             payload += data
             if fin:
-                return opcode, payload
+                return opcode, bytes(payload)
 
 
 def client_frame(payload: bytes, opcode: int = OP_TEXT, mask: bytes = b"\x12\x34\x56\x78") -> bytes:

@@ -32,7 +32,8 @@ class QuantizedParams:
 
     def size_bytes(self) -> int:
         leaves = jax.tree_util.tree_leaves(self.q)
-        bits = 8 if self.scheme != "int4" else 4  # int4 packs 2/byte on export
+        # logical export sizes: int4 packs 2/byte, binary packs 8/byte
+        bits = {"int8": 8, "int4": 4, "binary": 1}[self.scheme]
         return sum(int(np.prod(x.shape)) * bits for x in leaves) // 8
 
     def dequantize(self):

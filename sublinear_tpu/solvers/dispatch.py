@@ -53,7 +53,7 @@ def select_method(matrix: Matrix, b: Optional[np.ndarray] = None) -> Method:
     a = analyze(matrix, estimate_condition=False)
     n = matrix.shape[0]
     if not a.is_diagonally_dominant:
-        return Method.CG if a.is_symmetric else Method.CG  # bicgstab handled in solve
+        return Method.CG if a.is_symmetric else Method.BICGSTAB
     if a.is_symmetric:
         # strong dominance -> Neumann converges in few terms; weak dominance
         # (rho near 1) -> Chebyshev halves the effective exponent; else CG
@@ -110,7 +110,15 @@ def solve(
                 if np.all(np.isfinite(first.solution))
                 else None
             )
-            polish = dataclasses.replace(options, method=Method.CG, x0=x0)
+            # plain CG has no guarantee on non-symmetric systems; polish
+            # with BiCGSTAB there (reference: adaptive switching picks the
+            # Krylov variant by structure, src/solver.js:537-590)
+            polish_m = (
+                Method.CG
+                if analyze(matrix, estimate_condition=False).is_symmetric
+                else Method.BICGSTAB
+            )
+            polish = dataclasses.replace(options, method=polish_m, x0=x0)
             result = solve(matrix, b, polish, raise_on_fail=raise_on_fail)
             return dataclasses.replace(
                 result,

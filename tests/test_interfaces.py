@@ -365,3 +365,47 @@ def test_load_matrix_routes_gml(tmp_path):
     A = load_matrix(str(p))
     assert A.shape == (2, 2)
     assert A.csr.to_dense()[0, 1] == 2.5
+
+
+def test_websocket_late_subscribe_replays(http_server):
+    """A subscriber attaching after the solve completed must receive the full
+    chunk history and session_complete instead of hanging (round-1 advisor
+    finding: single-consumer queue starved late subscribers; the reference
+    errors instead, server/session-manager.js getJobStream)."""
+    sock, ws = _ws_connect(http_server)
+    try:
+        assert _ws_recv(ws)["type"] == "welcome"
+        A = slt.generate("random-sparse", 24, seed=4, density=0.15)
+        b = slt.rhs(24, seed=4)
+        _ws_send(ws, {"type": "solve", "matrix": A.to_dict(), "vector": b.tolist(),
+                      "method": "conjugate-gradient"})
+        started = _ws_recv(ws)
+        assert started["type"] == "solve_started"
+        sid = started["session_id"]
+        n_updates = 0
+        while True:
+            doc = _ws_recv(ws)
+            if doc["type"] == "session_complete":
+                break
+            n_updates += 1
+        # job is now finished: subscribe from a second connection
+        sock2, ws2 = _ws_connect(http_server)
+        try:
+            assert _ws_recv(ws2)["type"] == "welcome"
+            _ws_send(ws2, {"type": "subscribe", "session_id": sid})
+            replayed = 0
+            while True:
+                doc = _ws_recv(ws2)
+                if doc["type"] == "session_complete":
+                    assert doc["status"] == "completed"
+                    break
+                assert doc["type"] == "session_update"
+                replayed += 1
+            assert replayed == n_updates
+        finally:
+            sock2.close()
+        # unknown session still errors like the reference
+        _ws_send(ws, {"type": "subscribe", "session_id": "nope"})
+        assert "not found" in _ws_recv(ws)["error"].lower()
+    finally:
+        sock.close()
