@@ -71,7 +71,7 @@ def _pagerank_run(opT, v, dangling_mask, alpha, threshold, max_iters, check_ever
         return jnp.linalg.norm(step(x) - x)
 
     x0 = v
-    x, k, res = base.while_iterate(
+    x, k, res, _ = base.while_iterate(
         base.repeat_steps(step, check_every), residual_of, x0, threshold, max_iters, check_every
     )
     x = x / jnp.maximum(jnp.sum(x), 1e-30)

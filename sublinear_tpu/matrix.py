@@ -34,6 +34,7 @@ class Matrix:
         self._ops: dict = {}
         self._dia_offsets: Optional[tuple] = ()  # () = unprobed, None = ineligible
         self._xbar_ok: Optional[bool] = None
+        self._dom_gap: Optional[float] = None
         self._transpose_csr: Optional[CSR] = None
         # serving layers share Matrix objects across threads
         import threading
@@ -260,3 +261,17 @@ class Matrix:
 
     def diagonal_vector(self) -> np.ndarray:
         return self.csr.diagonal_vector()
+
+    def dominance_gap(self) -> float:
+        """alpha = min_i (|a_ii| - sum_{j!=i} |a_ij|); > 0 iff strictly row
+        diagonally dominant.  1/alpha bounds ||A^-1||_inf (Varah), used for
+        the deterministic ErrorBounds on solve results."""
+        if self._dom_gap is None:
+            n, m = self.shape
+            if n != m or n == 0:
+                self._dom_gap = 0.0
+            else:
+                d = np.abs(self.csr.diagonal_vector())
+                off = self.csr.offdiag_abs_row_sums()
+                self._dom_gap = float(np.min(d - off))
+        return self._dom_gap

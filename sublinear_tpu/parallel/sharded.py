@@ -162,7 +162,7 @@ def solve_cg_sharded(
         from ..solvers.cg import _cg_run
 
         with base.SolveTimer() as t:
-            x, k, res = _cg_run(op, b_local, x0, threshold, jnp.int32(options.max_iterations), True)
+            x, k, res, _ = _cg_run(op, b_local, x0, threshold, jnp.int32(options.max_iterations), True)
             jax.block_until_ready(x)
     else:
         key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "cg")

@@ -32,13 +32,32 @@ from ..types import SolverOptions
 
 @dataclasses.dataclass
 class EntryEstimate:
+    """Single-entry estimate with a variance-backed confidence interval
+    (reference: src/core/solver.ts:550-659 reports estimate + variance;
+    the interval here is the normal-approximation CI at the requested
+    confidence level, or a residual-backed deterministic interval for the
+    exact methods)."""
+
     estimate: float
     variance: float
-    confidence: float
+    confidence: float           # CI half-width (legacy field name)
     method: str
+    confidence_level: float = 0.95
+
+    @property
+    def confidence_interval(self) -> tuple:
+        return (self.estimate - self.confidence, self.estimate + self.confidence)
 
     def to_dict(self) -> dict:
-        return dataclasses.asdict(self)
+        lo, hi = self.confidence_interval
+        return {
+            "estimate": self.estimate,
+            "variance": self.variance,
+            "confidence": self.confidence,
+            "confidenceInterval": [lo, hi],
+            "confidenceLevel": self.confidence_level,
+            "method": self.method,
+        }
 
 
 def _check_index(i: int, n: int, what: str):
@@ -71,14 +90,18 @@ def estimate_entry(
 
         z = {0.9: 1.645, 0.95: 1.96, 0.99: 2.576}.get(round(confidence, 2), 1.96)
         half = z * sqrt(max(var[0], 0.0) / w)
-        return EntryEstimate(float(est[0]), float(var[0]), float(half), method)
+        return EntryEstimate(float(est[0]), float(var[0]), float(half), method,
+                             confidence_level=confidence)
 
     if method == "neumann":
         # reference solves A x = e_col and reads x[row] -> (A^-1)_{row,col}
         e = np.zeros(n)
         e[column] = 1.0
         r = solve(matrix, e, options, method="neumann", raise_on_fail=False)
-        return EntryEstimate(float(r.solution[row]), 0.0, 0.0, "neumann")
+        # deterministic half-width from the solve's error bound when available
+        half = float(r.error_bounds.upper_bound) if r.error_bounds else 0.0
+        return EntryEstimate(float(r.solution[row]), 0.0, half, "neumann",
+                             confidence_level=1.0)
 
     if method == "backward-push":
         # adjoint identity: x_row = y . b where A^T y = e_row
@@ -86,7 +109,12 @@ def estimate_entry(
         e[row] = 1.0
         y, k, res = _push.adjoint_solve(matrix, e, options)
         y = np.asarray(jax.device_get(y), dtype=np.float64)[:n]
-        return EntryEstimate(float(y @ np.asarray(b, dtype=np.float64)), 0.0, float(res), method)
+        bb = np.asarray(b, dtype=np.float64)
+        # residual of the adjoint solve bounds the estimate error by
+        # ||r|| * ||b|| / alpha (Varah) when A is strictly DD
+        alpha = matrix.dominance_gap()
+        half = float(res) * float(np.linalg.norm(bb)) / alpha if alpha > 0 else float(res)
+        return EntryEstimate(float(y @ bb), 0.0, half, method, confidence_level=1.0)
 
     raise InvalidParametersError(f"Unknown estimation method: {method}")
 

@@ -26,8 +26,8 @@ from . import base
 _TINY = 1e-30
 
 
-@functools.partial(jax.jit, static_argnames=("precondition",))
-def _cg_run(op, b, x0, threshold, max_iters, precondition):
+@functools.partial(jax.jit, static_argnames=("precondition", "mode"))
+def _cg_run(op, b, x0, threshold, max_iters, precondition, mode="residual", change_tol=0.0):
     inv_d = op.inv_diag
 
     def M(v):  # Jacobi preconditioner
@@ -38,38 +38,54 @@ def _cg_run(op, b, x0, threshold, max_iters, precondition):
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
 
+    def not_done(res, change):
+        if mode == "relative_change":
+            return change > change_tol
+        if mode == "combined":
+            return (res > threshold) | (change > change_tol)
+        return res > threshold
+
     def cond(carry):
-        x, r, p, rz, k, res = carry
-        return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
+        x, r, p, rz, k, res, change = carry
+        return not_done(res, change) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
 
     def body(carry):
-        x, r, p, rz, k, _ = carry
+        x, r, p, rz, k, _, _ = carry
         Ap = op.matvec(p)
         alpha = rz / jnp.maximum(jnp.vdot(p, Ap), _TINY)
-        x = x + alpha * p
+        x_new = x + alpha * p
+        change = jnp.abs(alpha) * jnp.linalg.norm(p) / jnp.maximum(jnp.linalg.norm(x), _TINY)
         r = r - alpha * Ap
         z = M(r)
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.maximum(rz, _TINY)
         p = z + beta * p
-        return x, r, p, rz_new, k + 1, jnp.linalg.norm(r)
+        return x_new, r, p, rz_new, k + 1, jnp.linalg.norm(r), change
 
-    carry0 = (x0, r0, p0, rz0, jnp.int32(0), jnp.linalg.norm(r0))
-    x, r, p, rz, k, res = jax.lax.while_loop(cond, body, carry0)
-    return x, k, res
+    big = jnp.asarray(jnp.inf, b.dtype)
+    carry0 = (x0, r0, p0, rz0, jnp.int32(0), jnp.linalg.norm(r0), big)
+    x, r, p, rz, k, res, change = jax.lax.while_loop(cond, body, carry0)
+    return x, k, res, change
 
 
-@jax.jit
-def _bicgstab_run(op, b, x0, threshold, max_iters):
+@functools.partial(jax.jit, static_argnames=("mode",))
+def _bicgstab_run(op, b, x0, threshold, max_iters, mode="residual", change_tol=0.0):
     r0 = b - op.matvec(x0)
     rhat = r0
 
+    def not_done(res, change):
+        if mode == "relative_change":
+            return change > change_tol
+        if mode == "combined":
+            return (res > threshold) | (change > change_tol)
+        return res > threshold
+
     def cond(carry):
-        x, r, p, v, rho, alpha, omega, k, res = carry
-        return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
+        x, r, p, v, rho, alpha, omega, k, res, change = carry
+        return not_done(res, change) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
 
     def body(carry):
-        x, r, p, v, rho, alpha, omega, k, _ = carry
+        x, r, p, v, rho, alpha, omega, k, _, _ = carry
         rho_new = jnp.vdot(rhat, r)
         beta = (rho_new / jnp.where(jnp.abs(rho) > _TINY, rho, _TINY)) * (
             alpha / jnp.where(jnp.abs(omega) > _TINY, omega, _TINY)
@@ -81,15 +97,18 @@ def _bicgstab_run(op, b, x0, threshold, max_iters):
         t = op.matvec(s)
         tt = jnp.vdot(t, t)
         omega = jnp.vdot(t, s) / jnp.where(tt > _TINY, tt, _TINY)
-        x = x + alpha * p + omega * s
+        dx = alpha * p + omega * s
+        x_new = x + dx
+        change = jnp.linalg.norm(dx) / jnp.maximum(jnp.linalg.norm(x), _TINY)
         r = s - omega * t
-        return x, r, p, v, rho_new, alpha, omega, k + 1, jnp.linalg.norm(r)
+        return x_new, r, p, v, rho_new, alpha, omega, k + 1, jnp.linalg.norm(r), change
 
     z = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)
-    carry0 = (x0, r0, z, z, one, one, one, jnp.int32(0), jnp.linalg.norm(r0))
+    big = jnp.asarray(jnp.inf, b.dtype)
+    carry0 = (x0, r0, z, z, one, one, one, jnp.int32(0), jnp.linalg.norm(r0), big)
     out = jax.lax.while_loop(cond, body, carry0)
-    return out[0], out[7], out[8]
+    return out[0], out[7], out[8], out[9]
 
 
 def _prepare(matrix: Matrix, b, options: SolverOptions):
@@ -108,21 +127,21 @@ def solve_cg(
 ) -> SolverResult:
     op, b_pad, x0, threshold = _prepare(matrix, b, options)
     with base.SolveTimer() as t:
-        x, k, res = _cg_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), precondition)
+        x, k, res, change = _cg_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), precondition, base.driver_mode_of(options), options.epsilon)
         jax.block_until_ready(x)
     k_host = int(jax.device_get(k))
     result = base.finalize(
         matrix, x, k, res, "conjugate-gradient", options, t.ms, matvec_count=k_host + 1
     )
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail, change=float(jax.device_get(change)))
 
 
 def solve_bicgstab(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:
     op, b_pad, x0, threshold = _prepare(matrix, b, options)
     with base.SolveTimer() as t:
-        x, k, res = _bicgstab_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations))
+        x, k, res, change = _bicgstab_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), base.driver_mode_of(options), options.epsilon)
         jax.block_until_ready(x)
     result = base.finalize(
         matrix, x, k, res, "bicgstab", options, t.ms, matvec_count=2 * int(jax.device_get(k)) + 1
     )
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail, change=float(jax.device_get(change)))

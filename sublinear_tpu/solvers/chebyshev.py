@@ -26,8 +26,8 @@ from ..types import SolverOptions, SolverResult
 from . import base
 
 
-@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
-def _chebyshev_run(op, b, x0, rho, threshold, max_iters, check_every, norm_mode="l2"):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode", "mode"))
+def _chebyshev_run(op, b, x0, rho, threshold, max_iters, check_every, norm_mode="l2", mode="residual", change_tol=0.0):
     """Chebyshev iteration on D^-1 A x = D^-1 b with spectrum in
     [1-rho, 1+rho]."""
     inv_d = op.inv_diag
@@ -70,11 +70,12 @@ def _chebyshev_run(op, b, x0, rho, threshold, max_iters, check_every, norm_mode=
         return base.device_norm(op.matvec(x) - b, norm_mode)
 
     state0 = (x0, jnp.zeros_like(x0), jnp.asarray(0.0, b.dtype), jnp.int32(0))
-    state, kk, res = base.while_iterate(
-        block, residual_of, state0, threshold, max_iters, check_every
+    state, kk, res, change = base.while_iterate(
+        block, residual_of, state0, threshold, max_iters, check_every,
+        x_of=lambda st: st[0], mode=mode, change_tol=change_tol,
     )
     x = state[0]
-    return x, kk, res
+    return x, kk, res, change
 
 
 def solve_chebyshev(
@@ -91,12 +92,13 @@ def solve_chebyshev(
     )
     threshold = base.threshold_for(b, options)
     with base.SolveTimer() as t:
-        x, k, res = _chebyshev_run(
+        x, k, res, change = _chebyshev_run(
             op, b_pad, x0, rho, threshold, jnp.int32(options.max_iterations),
             options.check_every, base.norm_mode_of(options),
+            base.driver_mode_of(options), options.epsilon,
         )
         jax.block_until_ready(x)
     result = base.finalize(
         matrix, x, k, res, "chebyshev", options, t.ms, matvec_count=int(jax.device_get(k))
     )
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail, change=float(jax.device_get(change)))

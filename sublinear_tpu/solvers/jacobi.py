@@ -24,8 +24,8 @@ from ..types import SolverOptions, SolverResult
 from . import base
 
 
-@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
-def _jacobi_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode", "mode"))
+def _jacobi_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2", mode="residual", change_tol=0.0):
     inv_d = op.inv_diag
 
     def step(x):
@@ -34,10 +34,11 @@ def _jacobi_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
     def residual_of(x):
         return base.device_norm(op.matvec(x) - b, norm_mode)
 
-    state, k, res = base.while_iterate(
-        base.repeat_steps(step, check_every), residual_of, x0, threshold, max_iters, check_every
+    state, k, res, change = base.while_iterate(
+        base.repeat_steps(step, check_every), residual_of, x0, threshold,
+        max_iters, check_every, x_of=lambda x: x, mode=mode, change_tol=change_tol
     )
-    return state, k, res
+    return state, k, res, change
 
 
 def greedy_coloring(matrix: Matrix) -> np.ndarray:
@@ -74,8 +75,8 @@ def greedy_coloring(matrix: Matrix) -> np.ndarray:
     return colors
 
 
-@functools.partial(jax.jit, static_argnames=("check_every", "num_colors"))
-def _sor_run(op, b, x0, color_masks, omega, threshold, max_iters, check_every, num_colors):
+@functools.partial(jax.jit, static_argnames=("check_every", "num_colors", "mode"))
+def _sor_run(op, b, x0, color_masks, omega, threshold, max_iters, check_every, num_colors, mode="residual", change_tol=0.0):
     inv_d = op.inv_diag
 
     def sweep(x):
@@ -87,10 +88,11 @@ def _sor_run(op, b, x0, color_masks, omega, threshold, max_iters, check_every, n
     def residual_of(x):
         return jnp.linalg.norm(op.matvec(x) - b)
 
-    state, k, res = base.while_iterate(
-        base.repeat_steps(sweep, check_every), residual_of, x0, threshold, max_iters, check_every
+    state, k, res, change = base.while_iterate(
+        base.repeat_steps(sweep, check_every), residual_of, x0, threshold,
+        max_iters, check_every, x_of=lambda x: x, mode=mode, change_tol=change_tol
     )
-    return state, k, res
+    return state, k, res, change
 
 
 def _prepare(matrix: Matrix, b, options: SolverOptions):
@@ -107,10 +109,10 @@ def _prepare(matrix: Matrix, b, options: SolverOptions):
 def solve_jacobi(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:
     op, b_pad, x0, threshold = _prepare(matrix, b, options)
     with base.SolveTimer() as t:
-        x, k, res = _jacobi_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every, base.norm_mode_of(options))
+        x, k, res, change = _jacobi_run(op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every, base.norm_mode_of(options), base.driver_mode_of(options), options.epsilon)
         jax.block_until_ready(x)
     result = base.finalize(matrix, x, k, res, "jacobi", options, t.ms, matvec_count=int(jax.device_get(k)))
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail, change=float(jax.device_get(change)))
 
 
 def solve_sor(
@@ -126,16 +128,17 @@ def solve_sor(
         masks[c, : colors.size] = colors == c
     masks_dev = jnp.asarray(masks)
     with base.SolveTimer() as t:
-        x, k, res = _sor_run(
+        x, k, res, change = _sor_run(
             op, b_pad, x0, masks_dev, jnp.asarray(omega, op.dtype), threshold,
             jnp.int32(options.max_iterations), options.check_every, num_colors,
+            base.driver_mode_of(options), options.epsilon,
         )
         jax.block_until_ready(x)
     result = base.finalize(
         matrix, x, k, res, method_name, options, t.ms,
         matvec_count=int(jax.device_get(k)) * num_colors,
     )
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail, change=float(jax.device_get(change)))
 
 
 def solve_gauss_seidel(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:

@@ -28,8 +28,8 @@ from ..types import SolverOptions, SolverResult
 from . import base
 
 
-@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
-def _neumann_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode", "mode"))
+def _neumann_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2", mode="residual", change_tol=0.0):
     inv_d = op.inv_diag
     r0 = b - op.matvec(x0)
     term0 = inv_d * r0
@@ -44,11 +44,15 @@ def _neumann_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
         return base.device_norm(op.matvec(x) - b, norm_mode)
 
     state0 = (x0 + term0, term0)
-    (state, k, res) = base.while_iterate(
-        base.repeat_steps(step, check_every), residual_of, state0, threshold, max_iters, check_every
+    (state, k, res, change) = base.while_iterate(
+        base.repeat_steps(step, check_every), residual_of, state0, threshold,
+        max_iters, check_every, x_of=lambda st: st[0], mode=mode,
+        change_tol=change_tol,
     )
-    x, _ = state
-    return x, k, res
+    x, term = state
+    # geometric-tail data for the truncation error bound
+    # (reference: src/solver/neumann.rs:321-347)
+    return x, k, res, change, jnp.linalg.norm(term), jnp.linalg.norm(term0)
 
 
 def solve_neumann(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool = True) -> SolverResult:
@@ -61,13 +65,19 @@ def solve_neumann(matrix: Matrix, b, options: SolverOptions, raise_on_fail: bool
     threshold = base.threshold_for(b, options)
 
     with base.SolveTimer() as t:
-        x, k, res = _neumann_run(
+        x, k, res, change, term_n, rhs_n = _neumann_run(
             op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every,
-            base.norm_mode_of(options),
+            base.norm_mode_of(options), base.driver_mode_of(options), options.epsilon,
         )
         jax.block_until_ready(x)
+    eb = base.neumann_truncation_bounds(
+        matrix, int(jax.device_get(k)), float(jax.device_get(term_n)),
+        float(jax.device_get(rhs_n)), float(jax.device_get(res)),
+    )
     result = base.finalize(
         matrix, x, k, res, "neumann", options, t.ms,
         matvec_count=int(np.ceil(int(jax.device_get(k)) * (1 + 1 / max(options.check_every, 1)))),
+        error_bounds=eb,
     )
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail,
+                              change=float(jax.device_get(change)))

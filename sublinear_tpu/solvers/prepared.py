@@ -90,7 +90,8 @@ class PreparedSolver:
         )
         threshold = base.threshold_for(b, opts)
         with base.SolveTimer() as t:
-            x, k, res = self._runner(self.op, b_pad, x0_pad, threshold)
+            out = self._runner(self.op, b_pad, x0_pad, threshold)
+            x, k, res = out[0], out[1], out[2]  # runners return (..., change)
             jax.block_until_ready(x)
         result = base.finalize(
             self.matrix, x, k, res, self.method.value, opts, t.ms,

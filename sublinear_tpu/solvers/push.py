@@ -40,8 +40,8 @@ from . import base
 FRONTIER_ETA = 0.1
 
 
-@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode"))
-def _push_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
+@functools.partial(jax.jit, static_argnames=("check_every", "norm_mode", "mode"))
+def _push_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2", mode="residual", change_tol=0.0):
     inv_d = op.inv_diag
 
     def sweep(state):
@@ -59,11 +59,12 @@ def _push_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2"):
         return base.device_norm(r, norm_mode)
 
     r0 = b - op.matvec(x0)
-    state, k, res = base.while_iterate(
-        base.repeat_steps(sweep, check_every), residual_of, (x0, r0), threshold, max_iters, check_every
+    state, k, res, change = base.while_iterate(
+        base.repeat_steps(sweep, check_every), residual_of, (x0, r0), threshold,
+        max_iters, check_every, x_of=lambda st: st[0], mode=mode, change_tol=change_tol
     )
     x, r = state
-    return x, k, res
+    return x, k, res, change
 
 
 def solve_push(
@@ -85,7 +86,7 @@ def solve_push(
     if direction == "bidirectional":
         # push phase with a loose budget, then Krylov polish from the iterate
         with base.SolveTimer() as t:
-            x, k, res = _push_run(
+            x, k, res, _ = _push_run(
                 op, b_pad, x0, threshold, jnp.int32(max(options.max_iterations // 4, 8)),
                 options.check_every, base.norm_mode_of(options),
             )
@@ -104,15 +105,15 @@ def solve_push(
         return polish
 
     with base.SolveTimer() as t:
-        x, k, res = _push_run(
+        x, k, res, change = _push_run(
             op, b_pad, x0, threshold, jnp.int32(options.max_iterations), options.check_every,
-            base.norm_mode_of(options),
+            base.norm_mode_of(options), base.driver_mode_of(options), options.epsilon,
         )
         jax.block_until_ready(x)
     result = base.finalize(
         matrix, x, k, res, direction, options, t.ms, matvec_count=int(jax.device_get(k))
     )
-    return base.check_outcome(result, threshold, options, raise_on_fail)
+    return base.check_outcome(result, threshold, options, raise_on_fail, change=float(jax.device_get(change)))
 
 
 @functools.partial(jax.jit, static_argnames=("check_every",))
@@ -129,7 +130,7 @@ def adjoint_solve(matrix: Matrix, e, options: SolverOptions):
     opT = matrix.op(options.dtype, transpose=True)
     e_pad = matrix.pad_vector(e, options.dtype, transpose=True)
     threshold = base.threshold_for(e, options)
-    y, k, res = _push_adjoint_run(
+    y, k, res, _ = _push_adjoint_run(
         opT, e_pad, threshold, jnp.int32(options.max_iterations), options.check_every
     )
     return y, int(jax.device_get(k)), float(jax.device_get(res))

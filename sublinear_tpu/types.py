@@ -140,6 +140,46 @@ class SolverStats:
 
 
 @dataclasses.dataclass
+class ErrorBounds:
+    """Solution error bounds (reference: src/types.rs:60-69, :253-300).
+
+    ``method``: deterministic | probabilistic | adaptive | neumann_truncation.
+    Deterministic bounds use the Varah bound for strictly diagonally dominant
+    A: ||A^-1||_inf <= 1/alpha with alpha = min_i(|a_ii| - sum_j |a_ij|), so
+    ||x - x*||_inf <= ||r||/alpha.  Neumann truncation bounds follow
+    /root/reference/src/solver/neumann.rs:321-347 (geometric series tail).
+    """
+
+    lower_bound: float
+    upper_bound: float
+    confidence: Optional[float] = None
+    method: str = "deterministic"
+
+    def is_valid(self) -> bool:
+        return (
+            self.lower_bound <= self.upper_bound
+            and self.lower_bound >= 0.0
+            and self.upper_bound >= 0.0
+        )
+
+    def width(self) -> float:
+        return self.upper_bound - self.lower_bound
+
+    def midpoint(self) -> float:
+        return (self.lower_bound + self.upper_bound) / 2.0
+
+    def to_dict(self) -> dict:
+        d = {
+            "lowerBound": float(self.lower_bound),
+            "upperBound": float(self.upper_bound),
+            "method": self.method,
+        }
+        if self.confidence is not None:
+            d["confidence"] = float(self.confidence)
+        return d
+
+
+@dataclasses.dataclass
 class SolverResult:
     """Mirrors TS SolverResult (src/core/types.ts:37-46)."""
 
@@ -152,6 +192,7 @@ class SolverResult:
     memory_used: int = 0
     stats: Optional[SolverStats] = None
     phases: Optional[list] = None  # hybrid per-phase metrics (hybrid.rs:75-127)
+    error_bounds: Optional[ErrorBounds] = None
 
     def to_dict(self) -> dict:
         d = {
@@ -165,6 +206,8 @@ class SolverResult:
         }
         if self.stats is not None:
             d["stats"] = dataclasses.asdict(self.stats)
+        if self.error_bounds is not None:
+            d["errorBounds"] = self.error_bounds.to_dict()
         return d
 
 

@@ -106,7 +106,7 @@ def test_sharded_auto_mode_neumann(mesh8):
         pad_vector(b, op.n_pad, op.dtype), NamedSharding(mesh8, P("rows"))
     )
     thr = sbase.threshold_for(b, slt.SolverOptions(epsilon=1e-5))
-    x, k, res = _neumann_run(op, b_pad, jnp.zeros_like(b_pad), thr, jnp.int32(1000), 5)
+    x, k, res = _neumann_run(op, b_pad, jnp.zeros_like(b_pad), thr, jnp.int32(1000), 5)[:3]
     x_host = np.asarray(jax.device_get(x))[:256]
     x_ref = np.linalg.solve(A.to_dense(), b)
     np.testing.assert_allclose(x_host, x_ref, rtol=1e-3, atol=1e-4)
