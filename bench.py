@@ -138,6 +138,47 @@ def bench_chain_neumann(A, b, r_short, r_long, iters):
     return per_ms, ok, max_res
 
 
+def bench_batch_point(n=100_000, density=1e-4, B=128):
+    """n=100k x 128-RHS batched Neumann solve to 1e-6 (per-RHS time).
+    Reference solves batches serially (tools/solver.ts:291-321): its best
+    per-solve number applies per RHS."""
+    import jax
+    import jax.numpy as jnp
+
+    import sublinear_tpu as slt
+    from sublinear_tpu.parallel.sharded import _neumann_batch_run
+
+    A = slt.generate("random-sparse", n, seed=7, density=density)
+    rng = np.random.default_rng(0)
+    Bm = rng.standard_normal((n, B))
+    op = A.op(batch=True)
+    B_pad = np.zeros((op.n_pad, B)); B_pad[:n] = Bm
+    B_dev = jnp.asarray(B_pad, op.dtype)
+    thr = EPSILON * float(np.linalg.norm(Bm, axis=0).max())
+
+    def chain(reps):
+        @jax.jit
+        def f(Bd):
+            def one(carry, j):
+                prev, _ = carry
+                Bj = Bd * (1.0 + 0.01 * j) + 1e-6 * prev
+                X, k, cres = _neumann_batch_run(op, Bj, jnp.zeros_like(Bj), thr * 1.02, jnp.int32(200))
+                return (X, jnp.max(cres)), jnp.max(cres)
+            (Xf, _), r = jax.lax.scan(one, (jnp.zeros_like(Bd), 0.0), jnp.arange(reps, dtype=op.dtype))
+            return Xf[0, 0] + 0.0 * jnp.sum(r), jnp.max(r)
+        return f
+
+    f2, f10 = chain(2), chain(10)
+    sync_scalar(f2(B_dev)[0]); o = f10(B_dev); sync_scalar(o[0])
+    ts2, ts10 = [], []
+    for i in range(3):
+        t0 = time.perf_counter(); sync_scalar(f2(B_dev * (1 + 0.001 * i))[0]); ts2.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); o = f10(B_dev * (1 + 0.001 * i)); sync_scalar(o[0]); ts10.append(time.perf_counter() - t0)
+    per_batch = (min(ts10) - min(ts2)) / 8
+    ok = sync_scalar(o[1]) <= thr * 1.05
+    return per_batch * 1e3 / B, ok
+
+
 def main():
     import sublinear_tpu as slt
 
@@ -164,7 +205,18 @@ def main():
         })
         print(f"  -> {per_ms:.4f} ms/solve (ref {ref_ms} ms, {ref_ms/per_ms:.1f}x) res={max_res:.2e}", file=sys.stderr)
 
-    head = ladder_out[-1]
+    try:
+        per_rhs_ms, ok = bench_batch_point()
+        ladder_out.append({
+            "n": 100_000, "batch": 128, "ms": round(per_rhs_ms, 4),
+            "reference_ms": 9.2, "speedup": round(9.2 / per_rhs_ms, 2) if ok else 0.0,
+            "kind": "ell-batch", "note": "per-RHS, 128-RHS batched Neumann",
+        })
+        print(f"batch 100k x 128: {per_rhs_ms:.4f} ms/RHS ok={ok}", file=sys.stderr)
+    except Exception as e:  # batch bench must not poison the ladder
+        print(f"batch bench failed: {e}", file=sys.stderr)
+
+    head = ladder_out[2]
     print(f"total bench wall {time.perf_counter()-t_all:.0f}s", file=sys.stderr)
     print(json.dumps({
         "metric": HEADLINE,

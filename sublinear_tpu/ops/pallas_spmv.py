@@ -28,6 +28,7 @@ to T-entry tiles (pad entries carry val=0).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -126,7 +127,13 @@ def build_tiles(csr: CSR, R: int = TILE_R, C: int = TILE_C, T: int = TILE_T) -> 
     )
 
 
-def _spmm_kernel(rb_ref, cb_ref, first_ref, vals_ref, lrow_ref, lcol_ref, x_ref, out_ref):
+def _split_bf16(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _spmm_kernel(precise, rb_ref, cb_ref, first_ref, vals_ref, lrow_ref, lcol_ref, x_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(first_ref[i] == 1)
@@ -140,26 +147,42 @@ def _spmm_kernel(rb_ref, cb_ref, first_ref, vals_ref, lrow_ref, lcol_ref, x_ref,
     C = x_ref.shape[0]
     R = out_ref.shape[0]
 
-    # valued one-hot, transposed: W[c, t] = vals[t] * (lcol[t] == c)
     iota_ct = jax.lax.broadcasted_iota(jnp.int32, (C, T), 0)
-    w = jnp.where(iota_ct == lcol, vals, 0.0).astype(jnp.bfloat16)
-    # P = sum_c W[c, t] X[c, b]  ->  (T, B)
-    p = jax.lax.dot_general(
-        w, x_ref[:].astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    # scatter: OUT[r, b] += sum_t (lrow[t] == r) P[t, b]
     iota_rt = jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+    # row one-hot is 0/1: EXACT in bf16
     ohr = (iota_rt == lrow).astype(jnp.bfloat16)
-    out_ref[:] += jax.lax.dot_general(
-        ohr, p.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+
+    def dg(a, b, ca, cb):
+        return jax.lax.dot_general(
+            a, b, (((ca,), (cb,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    if not precise:
+        # fast single-pass: ~3e-3 relative error (bf16 rounding of vals/X/P)
+        w = jnp.where(iota_ct == lcol, vals, 0.0).astype(jnp.bfloat16)
+        p = dg(w, x_ref[:].astype(jnp.bfloat16), 0, 0)
+        out_ref[:] += dg(ohr, p.astype(jnp.bfloat16), 1, 0)
+        return
+
+    # solver-grade split-precision path (~1e-6 relative error): split the
+    # valued one-hot and X into bf16 hi/lo halves, 3-pass gather product
+    # W X = Wh Xh + Wh Xl + Wl Xh, then an exact-one-hot scatter of the f32
+    # product split into hi/lo (5 matmuls total; MXU-bound either way).
+    w32 = jnp.where(iota_ct == lcol, vals, 0.0)
+    wh, wl = _split_bf16(w32)
+    xh, xl = _split_bf16(x_ref[:])
+    p = dg(wh, xh, 0, 0) + dg(wh, xl, 0, 0) + dg(wl, xh, 0, 0)   # (T, B) f32
+    ph, plo = _split_bf16(p)
+    out_ref[:] += dg(ohr, ph, 1, 0) + dg(ohr, plo, 1, 0)
 
 
-@jax.jit
-def onehot_spmm(tiles: OneHotTiles, X: jax.Array) -> jax.Array:
-    """Y = A @ X with X: (m_pad, B) f32.  Returns (n_pad, B)."""
+@functools.partial(jax.jit, static_argnames=("precise",))
+def onehot_spmm(tiles: OneHotTiles, X: jax.Array, precise: bool = True) -> jax.Array:
+    """Y = A @ X with X: (m_pad, B) f32.  Returns (n_pad, B).
+
+    ``precise=True`` (default) runs the split-precision 5-matmul path at
+    ~1e-6 relative error — usable inside 1e-6-tolerance solves.  False is
+    the 2-matmul fast path (~3e-3, bf16)."""
     R, C, T = tiles.R, tiles.C, tiles.T
     B = X.shape[1]
     n_tiles = tiles.n_tiles
@@ -175,12 +198,14 @@ def onehot_spmm(tiles: OneHotTiles, X: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((R, B), lambda i, rb, cb, first: (rb[i], 0), memory_space=pltpu.VMEM),
     )
+    import functools as _ft
+
     return pl.pallas_call(
-        _spmm_kernel,
+        _ft.partial(_spmm_kernel, precise),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles.n_pad, B), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_tiles * T * (C + R) * B,
+            flops=(5 if precise else 2) * n_tiles * T * (C + R) * B,
             bytes_accessed=n_tiles * T * 12 + tiles.m_pad * B * 4 + tiles.n_pad * B * 4,
             transcendentals=0,
         ),

@@ -134,7 +134,10 @@ def _explicit_cg_factory(mesh: Mesh):
     return jax.jit(cg_shard)
 
 
-_EXPLICIT_CACHE: dict = {}
+from ..utils.lru import LRUCache
+
+# keyed by mesh signature (not matrix): a handful of program factories
+_EXPLICIT_CACHE = LRUCache(maxsize=8)
 
 
 def solve_cg_sharded(
@@ -166,9 +169,9 @@ def solve_cg_sharded(
             jax.block_until_ready(x)
     else:
         key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "cg")
-        if key not in _EXPLICIT_CACHE:
-            _EXPLICIT_CACHE[key] = _explicit_cg_factory(mesh)
-        fn = _EXPLICIT_CACHE[key]
+        fn = _EXPLICIT_CACHE.get(key)
+        if fn is None:
+            fn = _EXPLICIT_CACHE.put(key, _explicit_cg_factory(mesh))
         with base.SolveTimer() as t:
             x, k, res = fn(
                 op.values, op.cols, op.inv_diag, b_local, x0,
@@ -266,9 +269,9 @@ def solve_neumann_sharded(
     threshold = base.threshold_for(b, options)
 
     key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "neumann")
-    if key not in _EXPLICIT_CACHE:
-        _EXPLICIT_CACHE[key] = _explicit_neumann_factory(mesh)
-    fn = _EXPLICIT_CACHE[key]
+    fn = _EXPLICIT_CACHE.get(key)
+    if fn is None:
+        fn = _EXPLICIT_CACHE.put(key, _explicit_neumann_factory(mesh))
     with base.SolveTimer() as t:
         x, k, res = fn(
             op.values, op.cols, op.diag, op.inv_diag, b_local, x0,
@@ -324,15 +327,51 @@ def _cg_batch_run(op, B, X0, threshold, max_iters, precondition):
     return X, k, col_res(R)
 
 
+@jax.jit
+def _neumann_batch_run(op, B, X0, threshold, max_iters):
+    """Batched Neumann series over a RHS block — the DD-convergent batch
+    driver for asymmetric systems where plain CG has no guarantee."""
+    inv_d = op.inv_diag
+    diag = op.diag
+
+    def col_res(R):
+        return jnp.sqrt(jnp.sum(R * R, axis=0))
+
+    R0 = B - op.matmat(X0)
+    T0 = inv_d[:, None] * R0
+
+    def cond(carry):
+        X, T, k, res = carry
+        return (res > threshold) & (k < max_iters) & jnp.isfinite(res)
+
+    def body(carry):
+        X, T, k, _ = carry
+        AT = op.matmat(T)
+        T = -inv_d[:, None] * (AT - diag[:, None] * T)
+        X = X + T
+        res = jnp.max(col_res(B - op.matmat(X)))
+        return X, T, k + 1, res
+
+    X0n = X0 + T0
+    carry0 = (X0n, T0, jnp.int32(1), jnp.max(col_res(B - op.matmat(X0n))))
+    X, T, k, _ = jax.lax.while_loop(cond, body, carry0)
+    R = B - op.matmat(X)
+    return X, k, col_res(R)
+
+
 def solve_batch(
     matrix: Matrix,
     B,
     options: Optional[SolverOptions] = None,
     mesh: Optional[Mesh] = None,
     raise_on_fail: bool = False,
+    method: str = "auto",
 ):
     """Solve A X = B for many RHS at once (B: (n, nrhs)).  With a mesh, the
-    RHS block is sharded over the ``batch`` axis and rows over ``rows``."""
+    RHS block is sharded over the ``batch`` axis and rows over ``rows``.
+
+    ``method``: 'cg' | 'neumann' | 'auto' (CG when symmetric, else the
+    DD-convergent batched Neumann series)."""
     options = options or SolverOptions()
     n = matrix.shape[0]
     B = np.asarray(B, dtype=np.float64)
@@ -365,8 +404,18 @@ def solve_batch(
     norms = np.linalg.norm(B, axis=0)
     threshold = float(options.epsilon) * max(float(norms.max()), 1e-30) if options.convergence == "relative" else float(options.epsilon)
 
+    if method == "auto":
+        from ..analysis import analyze
+
+        a = analyze(matrix, estimate_condition=False)
+        method = "cg" if a.is_symmetric else (
+            "neumann" if a.is_diagonally_dominant else "cg"
+        )
     with base.SolveTimer() as t:
-        X, k, col_res = _cg_batch_run(op, B_dev, X0, threshold, jnp.int32(options.max_iterations), True)
+        if method == "neumann":
+            X, k, col_res = _neumann_batch_run(op, B_dev, X0, threshold, jnp.int32(options.max_iterations))
+        else:
+            X, k, col_res = _cg_batch_run(op, B_dev, X0, threshold, jnp.int32(options.max_iterations), True)
         jax.block_until_ready(X)
 
     X_host = np.asarray(jax.device_get(X), dtype=np.float64)[:n]
@@ -379,7 +428,7 @@ def solve_batch(
                 iterations=int(jax.device_get(k)),
                 residual=float(res[j]),
                 converged=bool(res[j] <= threshold * 1.0000001),
-                method="cg-batch",
+                method=f"{method}-batch",
                 compute_time_ms=t.ms,
             )
         )

@@ -40,13 +40,16 @@ class InEdgeTables:
         self.n_pad = n_pad
 
 
-_TABLE_CACHE: dict = {}
+from ..utils.lru import LRUCache
+
+_TABLE_CACHE = LRUCache(maxsize=32)
 
 
 def in_edge_tables(matrix: Matrix, dtype=None) -> InEdgeTables:
     key = (matrix.uid, str(resolve_dtype(dtype)))
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     dt = resolve_dtype(dtype)
     csc = matrix.T_csr()  # rows of A^T = in-edges of A's graph
     n = csc.shape[0]
@@ -71,7 +74,7 @@ def in_edge_tables(matrix: Matrix, dtype=None) -> InEdgeTables:
         costs[t_rows, pos] = 1.0 / np.maximum(np.abs(t_vals), 1e-30)
 
     tables = InEdgeTables(jnp.asarray(srcs), jnp.asarray(costs, dt), n_pad)
-    _TABLE_CACHE[key] = tables
+    _TABLE_CACHE.put(key, tables)
     return tables
 
 

