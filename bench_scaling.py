@@ -65,8 +65,15 @@ def main():
         # weak scaling: same per-device work; ideal time stays t1 (iterations
         # may differ as the problem grows — normalize per iteration)
         eff = (t1 / max(it1, 1)) / (td / max(itd, 1))
+        # On virtual CPU devices all N shards share ONE host's FLOPs and
+        # memory bandwidth, so raw weak-scaling efficiency is bounded above
+        # by 1/N even with a perfect schedule.  The meaningful proxy for a
+        # real slice (each chip brings its own HBM/ALUs; collectives ride
+        # ICI) is the host-normalized overhead factor N*t1/tN: the fraction
+        # of perfect work-sharing retained after partitioning + collectives.
         results.append({"devices": d, "rows": n0 * d, "seconds": td, "iterations": itd,
-                        "efficiency": round(eff, 3)})
+                        "efficiency": round(eff, 3),
+                        "host_normalized_efficiency": round(eff * d, 3)})
         d *= 2
 
     for r in results:
