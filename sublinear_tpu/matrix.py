@@ -177,6 +177,12 @@ class Matrix:
             with self._lock:
                 if key not in self._ops:
                     csr = self.T_csr() if transpose else self.csr
+                    # memory guard: estimate device bytes BEFORE packing and
+                    # raise E007 instead of OOMing (reference taxonomy; the
+                    # streaming path in formats/streaming.py has no ceiling)
+                    from .formats.streaming import check_memory_budget
+
+                    check_memory_budget(csr, kind)
                     if kind == "dia":
                         from .formats.dia import dia_from_csr
 

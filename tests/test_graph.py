@@ -136,3 +136,45 @@ def test_modularity_null():
     A, _ = random_digraph(20, 0.3, seed=4)
     q = modularity(A, np.zeros(20, dtype=np.int64))
     assert abs(q) < 0.35  # single community has near-zero modularity
+
+
+def test_betweenness_device_matches_host_oracle():
+    """Device level-synchronous Brandes == exact host Brandes (round-1 weak
+    spot: betweenness was host-only python BFS; closeness dispatched one
+    solve per node)."""
+    from sublinear_tpu.graph.centrality import betweenness_centrality
+
+    n = 60
+    rng = np.random.default_rng(3)
+    r = rng.integers(0, n, 300)
+    c = rng.integers(0, n, 300)
+    keep = r != c
+    A = slt.Matrix.from_coo(r[keep], c[keep], np.ones(keep.sum()), (n, n))
+    host = betweenness_centrality(A, backend="host")
+    dev = betweenness_centrality(A, backend="device")
+    np.testing.assert_allclose(
+        dev["betweennessVector"], host["betweennessVector"], rtol=1e-4, atol=1e-4
+    )
+
+
+def test_closeness_batched_matches_per_source():
+    from sublinear_tpu.graph.centrality import closeness_centrality
+    from sublinear_tpu.solvers.bmssp import batched_distances, shortest_paths
+
+    n = 50
+    rng = np.random.default_rng(5)
+    r = rng.integers(0, n, 220)
+    c = rng.integers(0, n, 220)
+    keep = r != c
+    r, c = r[keep], c[keep]
+    key = r.astype(np.int64) * n + c
+    _, ui = np.unique(key, return_index=True)  # simple graph: no multi-edges
+    r, c = r[ui], c[ui]
+    A = slt.Matrix.from_coo(r, c, np.ones(len(r)), (n, n))
+    batched = batched_distances(A, np.arange(n), unit_weights=True, chunk=16)
+    for i in (0, 7, 23):
+        d_i, _, _ = shortest_paths(A, [i])
+        np.testing.assert_allclose(batched[i], d_i[:n], rtol=1e-5, atol=1e-5)
+    out = closeness_centrality(A)
+    assert len(out["closenessVector"]) == n
+    assert max(out["closenessVector"]) > 0
