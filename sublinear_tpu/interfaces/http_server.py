@@ -135,6 +135,40 @@ from .swarm import SwarmCoordinator  # noqa: E402
 SWARM = SwarmCoordinator()
 
 
+class RateLimiter:
+    """Sliding-window per-IP limiter (reference server/index.js:61-69:
+    1000 requests / 15 min per IP on /api)."""
+
+    def __init__(self, window_s: float = 900.0, limit: int = 1000):
+        self.window_s = window_s
+        self.limit = limit
+        self._hits: dict = {}
+        self._lock = threading.Lock()
+
+    def allow(self, ip: str) -> bool:
+        now = time.monotonic()
+        with self._lock:
+            q = self._hits.setdefault(ip, [])
+            cutoff = now - self.window_s
+            while q and q[0] < cutoff:
+                q.pop(0)
+            if len(q) >= self.limit:
+                return False
+            q.append(now)
+            # bound the per-IP table itself
+            if len(self._hits) > 10_000:
+                self._hits.clear()
+            return True
+
+
+RATE_LIMITER = RateLimiter()
+MAX_BODY_BYTES = 50 * 1024 * 1024  # express.json({limit: '50mb'}) parity
+
+
+class BodyTooLarge(ValueError):
+    pass
+
+
 class Handler(BaseHTTPRequestHandler):
     server_version = "sublinear-tpu/0.1"
 
@@ -142,22 +176,51 @@ class Handler(BaseHTTPRequestHandler):
         pass
 
     # ------------------------------------------------------------- helpers
+    _CORS = {
+        "Access-Control-Allow-Origin": "*",
+        "Access-Control-Allow-Methods": "GET, POST, PUT, DELETE, OPTIONS",
+        "Access-Control-Allow-Headers": "Content-Type, Authorization, X-Session-ID",
+    }
+
     def _json(self, code: int, obj):
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in self._CORS.items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
+
+    def do_OPTIONS(self):  # CORS preflight
+        self.send_response(204)
+        for k, v in self._CORS.items():
+            self.send_header(k, v)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def _rate_limited(self) -> bool:
+        """429 on /api paths past the per-IP budget (index.js:61-69)."""
+        if not self.path.startswith("/api"):
+            return False
+        ip = self.client_address[0] if self.client_address else "?"
+        if RATE_LIMITER.allow(ip):
+            return False
+        self._json(429, {"error": "Too many requests", "retryAfter": "15 minutes"})
+        return True
 
     def _read_body(self) -> dict:
         length = int(self.headers.get("Content-Length", 0))
         if length == 0:
             return {}
+        if length > MAX_BODY_BYTES:
+            raise BodyTooLarge(f"body {length} bytes > limit {MAX_BODY_BYTES}")
         return json.loads(self.rfile.read(length))
 
     # ------------------------------------------------------------- routes
     def do_GET(self):
+        if self._rate_limited():
+            return
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         if parts == ["ws"]:
             return self._websocket()
@@ -193,11 +256,15 @@ class Handler(BaseHTTPRequestHandler):
         return self._json(404, {"error": f"unknown path {self.path}"})
 
     def do_POST(self):
+        if self._rate_limited():
+            return
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         try:
             payload = self._read_body()
         except json.JSONDecodeError:
             return self._json(400, {"error": "invalid JSON body"})
+        except BodyTooLarge as e:
+            return self._json(413, {"error": str(e)})
         try:
             if parts == ["api", "v1", "solve"]:
                 return self._solve_blocking(payload)

@@ -409,3 +409,47 @@ def test_websocket_late_subscribe_replays(http_server):
         assert "not found" in _ws_recv(ws)["error"].lower()
     finally:
         sock.close()
+
+
+def test_http_middleware_parity(http_server):
+    """CORS headers, OPTIONS preflight, body-size cap (413) and rate
+    limiting (429) — reference server/index.js:40-84 middleware stack."""
+    import urllib.request
+    import urllib.error
+
+    # CORS on normal responses
+    with urllib.request.urlopen(f"{http_server}/health", timeout=30) as r:
+        assert r.headers.get("Access-Control-Allow-Origin") == "*"
+    # OPTIONS preflight
+    req = urllib.request.Request(f"{http_server}/api/v1/solve", method="OPTIONS")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        assert r.status == 204
+        assert "POST" in r.headers.get("Access-Control-Allow-Methods", "")
+    # oversized body -> 413 (declared length over the cap)
+    from sublinear_tpu.interfaces import http_server as hs
+    req = urllib.request.Request(
+        f"{http_server}/api/v1/solve", data=b"x",
+        headers={"Content-Length": str(hs.MAX_BODY_BYTES + 1),
+                 "Content-Type": "application/json"},
+        method="POST")
+    try:
+        urllib.request.urlopen(req, timeout=30)
+        assert False, "expected 413"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+    # rate limit: shrink the budget and hammer
+    old = hs.RATE_LIMITER.limit
+    hs.RATE_LIMITER.limit = 3
+    hs.RATE_LIMITER._hits.clear()
+    try:
+        codes = []
+        for _ in range(5):
+            try:
+                with urllib.request.urlopen(f"{http_server}/api/v1/swarm/status", timeout=30) as r:
+                    codes.append(r.status)
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+        assert 429 in codes
+    finally:
+        hs.RATE_LIMITER.limit = old
+        hs.RATE_LIMITER._hits.clear()
