@@ -10,6 +10,10 @@ multi-chip sharded execution over jax meshes, and CLI/MCP/HTTP interfaces.
 
 __version__ = "0.1.0"
 
+from .config import enable_compilation_cache as _enable_cache
+
+_enable_cache()
+
 from .analysis import MatrixAnalysis, analyze
 from .errors import (
     ConvergenceError,

@@ -18,6 +18,30 @@ def backend() -> str:
     return jax.default_backend()
 
 
+@functools.lru_cache(maxsize=None)
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: Pallas/Mosaic compiles of the large
+    crossbar kernels take minutes; caching them on disk makes repeat solves,
+    benchmarks, and CLI invocations start in milliseconds.  Opt out with
+    SLT_NO_COMPILE_CACHE=1 (e.g. read-only filesystems)."""
+    if os.environ.get("SLT_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    path = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def configure_platform(platform: str | None = None) -> None:
     """Select the jax platform for this process (``cpu``/``tpu``/plugin name).
 

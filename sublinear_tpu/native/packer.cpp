@@ -182,4 +182,82 @@ void rcm_ordering(
     for (int64_t i = 0; i < n; ++i) perm[i] = order[n - 1 - i];
 }
 
+// --- XBAR crossbar router ---------------------------------------------------
+// Greedy router for the fused crossbar SpMV (ops/xbar.py): assigns each COO
+// entry a source slot (plane p, lane ds) and a per-row dest slot k, writing
+// the four route tables directly.  Replaces the NumPy randomized-rounds
+// router (pack-time was ~2.5 s at nnz=1.1M; this runs in milliseconds).
+// Geometry/lane formulas must match ops/xbar.py:
+//   ds = ((rh & 127) + 37*k) & 127,  db = k*Cb_pad + (rh>>7),  rh = r>>7.
+// Returns the number of placed entries; placed[i]=1 for routed entries.
+
+static inline uint64_t splitmix64(uint64_t& s) {
+    uint64_t z = (s += 0x9E3779B97F4A7C15ull);
+    z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ull;
+    z = (z ^ (z >> 27)) * 0x94D049BB133111EBull;
+    return z ^ (z >> 31);
+}
+
+int64_t route_xbar(
+    const int64_t* rows, const int64_t* cols, const float* vals, int64_t nnz,
+    int64_t n, int64_t C_src, int64_t P, int64_t K, int64_t Rr,
+    int64_t Cb_pad, int64_t Bd, int64_t Hs,
+    uint64_t seed, int32_t max_attempts,
+    int8_t* idx_src,    // (Hs, 128), caller-zeroed
+    float* val_src,     // (Hs, 128), caller-zeroed
+    int8_t* idx2,       // (Hs, idx2_w), caller-filled
+    int64_t idx2_w,     // banks*128
+    int8_t* idx3,       // (Bd*128, 128), caller-filled (default Bs-1)
+    uint8_t* placed     // (nnz,) out
+) {
+    (void)Rr;
+    std::vector<uint64_t> occ1((Hs * 128 + 63) / 64, 0);
+    std::vector<uint64_t> occ2((Hs * Bd + 63) / 64, 0);
+    const int64_t kw = (K + 63) / 64;
+    std::vector<uint64_t> rowmask(n * kw, 0);
+    std::vector<int32_t> rowcount(n, 0);
+    uint64_t rng = seed ^ 0xD1B54A32D192ED03ull;
+
+    int64_t n_placed = 0;
+    for (int64_t i = 0; i < nnz; ++i) {
+        placed[i] = 0;
+        const int64_t r = rows[i], c = cols[i];
+        if (rowcount[r] >= (int32_t)K) continue;  // row slots exhausted
+        const int64_t h = c >> 7;
+        const int8_t lo = (int8_t)(c & 127);
+        const int64_t rh = r >> 7;
+        const int64_t dsr = rh & 127;
+        const int64_t jc = rh >> 7;
+        const int8_t rl = (int8_t)(r & 127);
+        uint64_t* rm = rowmask.data() + r * kw;
+        for (int32_t a = 0; a < max_attempts; ++a) {
+            const uint64_t rnd = splitmix64(rng);
+            const int64_t k = (int64_t)(rnd % (uint64_t)K);
+            if (rm[k >> 6] & (1ull << (k & 63))) continue;
+            const int64_t p = (int64_t)((rnd >> 32) % (uint64_t)P);
+            const int64_t ds = (dsr + 37 * k) & 127;
+            const int64_t db = k * Cb_pad + jc;
+            const int64_t srow = p * C_src + h;
+            const int64_t b1 = srow * 128 + ds;
+            if (occ1[b1 >> 6] & (1ull << (b1 & 63))) continue;
+            const int64_t sb = srow >> 7;
+            const int64_t b2 = (sb * 128 + ds) * Bd + db;
+            if (occ2[b2 >> 6] & (1ull << (b2 & 63))) continue;
+            // claim
+            occ1[b1 >> 6] |= 1ull << (b1 & 63);
+            occ2[b2 >> 6] |= 1ull << (b2 & 63);
+            rm[k >> 6] |= 1ull << (k & 63);
+            rowcount[r] += 1;
+            idx_src[srow * 128 + ds] = lo;
+            val_src[srow * 128 + ds] = vals[i];
+            idx2[(sb * 128 + ds) * idx2_w + db] = (int8_t)(srow & 127);
+            idx3[(db * 128 + dsr) * 128 + rl] = (int8_t)sb;
+            placed[i] = 1;
+            ++n_placed;
+            break;
+        }
+    }
+    return n_placed;
+}
+
 }  // extern "C"

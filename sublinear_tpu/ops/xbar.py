@@ -6,31 +6,37 @@ irregular sparse single-RHS solves (/root/reference/src/ultra_fast.rs:49-97,
 worth using: XLA's gather engine costs ~8-16 ns/index, while the native
 per-sublane lane gather (``tpu.dynamic_gather``, emitted by
 ``jnp.take_along_axis(t, i, axis=1)`` inside a Pallas kernel) moves one
-element per lane per cycle — the same cost as an FMA (~177 Gelem/s measured
-on v5e).  That primitive only gathers *within* a 128-lane sublane row, so an
-arbitrary SpMV is routed through a fixed crossbar network built from lane
-gathers and batched 128x128 transposes:
+element per lane per sublane per cycle (~1024 elem/cycle measured, i.e. a
+(128,128) row-aligned gather in ~20 ns).  That primitive only gathers
+*within* a 128-lane row, so an arbitrary SpMV is routed through a fixed
+crossbar network of lane gathers and in-register 128x128 transposes
+(~4 ns/tile measured), fused into TWO Pallas kernels:
 
-  x2d (Cm,128)                                  x[128*h + lo] = x2d[h, lo]
-  G1  prod[p*Cm+h, l] = x2d[h, idx_src[..]] * val_src[..]   (lane gather)
-  T1  (Bs,128,128).swapaxes(1,2)                            (cross sublane)
-  G2  route lanes to dest-block positions                   (lane gather)
-  T2  (Bs,128,128).transpose(2,1,0)                         (cross sublane)
-  G3  route lanes to final (dest row, row-lane) slots       (lane gather)
-  y2d (Cn,128) = sum over K dest slots (+ tiny COO tail)
+  kernel 1 (grid over source blocks sb):
+    G1  prod[ss, ds] = x2d[h(ss), idx_src[ss,ds]] * val_src[ss,ds]
+    T1  t1[ds, ss]   = prod.T                      (in-VMEM transpose)
+    G2  o2[ds, db]   = t1[ds, idx2[ds,db]]         (route to dest block)
+    -> o2t[sb, db, ds]  (the only HBM intermediate)
+  kernel 2 (grid over dest blocks db, K-slot sum accumulated in VMEM):
+    rot m'[sb, dsr]  = o2t[sb, db, (dsr+s_k)&127]  (undo slot rotation)
+    T   m'T[dsr, sb]
+    G3  o3[dsr, rl]  = m'T[dsr, idx3[dsr,rl]]      (pick source block)
+    y[rh, rl] += o3   (K-slot sum is block-local by construction)
 
-Each sparse entry (r, c, v) is assigned a *route*: a source position
-(plane p, chunk h=c>>7, lane ds) and a destination slot (k < K) with
-drow = (r>>7)*K + k over the REAL row chunks (rh < ceil(n/128)),
-ds = drow & 127, db = drow >> 7.  Routing feasibility
-is a balls-into-bins problem solved at pack time by randomized rounds with
-slot redraws (~0.5 load); the rare failures go to a sorted COO tail handled
-by XLA segment_sum.  The db axis is banked in groups of 128 lanes (one G2/T2
-pass per bank) so the dest capacity is not limited to 16384 rows.
+Each sparse entry (r, c, v) gets a *route*: a source slot
+(plane p, chunk h=c>>7, lane ds) and a per-row dest slot k < K with
+  drow = k*Rr_pad + rh,   rh = r>>7,  Rr_pad = Cb_pad*128
+  db   = k*Cb_pad + (rh>>7)
+  ds   = ((rh & 127) + 37*k) & 127     (rotation keeps lane freedom)
+so the K-sum for each output row is confined to statically-known rows of
+statically-known dest blocks — kernel 2 accumulates it in VMEM and never
+materialises the slot tensor.  Routing is a balls-into-bins problem solved
+at pack time (native C++ router in native/packer.cpp, NumPy fallback);
+failures go to a sorted COO tail handled by XLA segment_sum.
 
-Measured on one v5e (chain-differenced device time): 46 us/matvec at
-n=10k/nnz=110k and 134 us at n=100k/nnz=1.1M — 8.2 Gnnz/s, ~37x over the
-round-1 wide-gather ELL path.
+All index tables are int8 (values < 128 by construction), cutting HBM
+traffic to ~val_src + o2t + small index planes; measured single-chip HBM
+stream bandwidth here is ~608 GB/s (scratch/prof_prims.py).
 """
 from __future__ import annotations
 
@@ -44,49 +50,207 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import backend
 from . import spmv
 
-GRID_ROWS = 16384         # max rows per source/dest grid (128 blocks of 128)
-MAX_BANKS = 4             # db-axis banks (each adds one G2+T2 pass)
-ROUTE_LOAD = 3            # dest slots sized for ~1/3 load
-RB = 1024                 # streamed row-block for gather kernels
+GRID_ROWS = 16384         # padding unit for source/dest index spaces
+MAX_BANKS = 4             # dest blocks <= MAX_BANKS*128 (idx2 lane budget)
+SRC_LOAD = 0.68           # target source-grid occupancy
+DST_LOAD = 0.42           # target dest-slot occupancy
+ROT = 37                  # per-slot dest-lane rotation (odd -> all distinct)
 
 
 def _interpret() -> bool:
     return backend() != "tpu"
 
 
-def _gather_prod_kernel(x_ref, i_ref, v_ref, o_ref):
-    o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1) * v_ref[:]
+def _geometry(n: int, m: int, nnz: int, max_count_h: int):
+    """Shared geometry solver for pack + feasibility.  Returns None or a
+    dict of the static routing-grid parameters."""
+    if n <= 0 or m <= 0 or nnz <= 0:
+        return None
+    m_pad = -(-m // GRID_ROWS) * GRID_ROWS
+    n_pad = -(-n // GRID_ROWS) * GRID_ROWS
+    C_src = m_pad // 128
+    cb_s = C_src // 128
+    Rr = -(-n // 128)
+    Cb = -(-Rr // 128)
+    if Cb <= 8:
+        Cb_pad = 1 << (Cb - 1).bit_length() if Cb > 1 else 1
+    else:
+        Cb_pad = -(-Cb // 8) * 8
+    k_unit = max(1, 8 // Cb_pad)
+    K_max = (MAX_BANKS * 128 // Cb_pad) // k_unit * k_unit
+    P_max = (128 * 128 - 128) // C_src
+    if K_max <= 0 or P_max < 2:
+        return None
+    # lane-coverage rule: reachable dest lanes per row are {(dsr+37k)&127};
+    # with few row chunks (small Rr) K must grow so routing keeps lane freedom
+    K_cov = -(-384 // min(Rr, 128))
+    K = max(8, K_cov, -(-int(nnz / (DST_LOAD * Rr * 128)) // k_unit) * k_unit)
+    K = min(-(-K // k_unit) * k_unit, K_max)
+    P = max(2, -(-int(max_count_h) // 96) + 1,
+            -(-nnz // int(SRC_LOAD * C_src * 128)))
+    # routing-class capacity rule: a (sb, ds, db) cell decodes to exactly one
+    # row chunk rh, so entries sharing (rh, 128-col h-window) compete for
+    # P*K cells; size P (cheap) then K so that class load stays ~0.55
+    ew = nnz * 128.0 / (Rr * C_src)          # entries per (rh, h-window)
+    need = int(np.ceil(ew / 0.55))
+    if P * K < need:
+        # balance: P-side tables cost ~P*C_src*640 B, K-side ~K*Cb_pad*16384 B
+        K_bal = int(np.sqrt(need * C_src * 640.0 / (Cb_pad * 16384.0))) + 1
+        K = min(max(K, -(-K_bal // k_unit) * k_unit), K_max)
+        P = min(max(P, -(-need // K)), P_max)
+    if P * K < need:
+        k_need = -(-need // P)
+        K = min(-(-k_need // k_unit) * k_unit, K_max)
+    for _ in range(8):
+        Hs = P * C_src + 128      # +1 trailing all-zero block (idx3 default)
+        Bs = Hs // 128
+        # o2t capacity rule: every routed entry occupies one (sb, db, ds)
+        # cell of the Bs*Bd*128 intermediate
+        K_o2 = -(-int(nnz / 0.5) // (Bs * 128 * Cb_pad))
+        K_o2 = -(-K_o2 // k_unit) * k_unit
+        if K_o2 <= K:
+            break
+        if K_o2 <= K_max:
+            K = K_o2
+            break
+        if P >= P_max:
+            K = K_max
+            break
+        P += 1
+    # round Bs up to a multiple of 4 so kernel 1 can process >=4 source
+    # blocks per grid step (DMA-size efficiency); extra blocks are all-zero
+    Bs = -(-(P * C_src // 128 + 1) // 4) * 4
+    Hs = Bs * 128
+    Bd = K * Cb_pad
+    banks = -(-Bd // 128)
+    if Bs > 128:
+        return None
+    # final feasibility: all three loads must leave routing slack
+    if nnz > 0.72 * K * Rr * 128:            # per-row dest slots
+        return None
+    if nnz > 0.62 * Bs * 128 * Bd:           # o2t cells
+        return None
+    if ew > 0.75 * P * K:                    # per-(rh, h-window) classes
+        return None
+    return dict(m_pad=m_pad, n_pad=n_pad, C_src=C_src, cb_s=cb_s, Rr=Rr,
+                Cb=Cb, Cb_pad=Cb_pad, K=K, Bd=Bd, banks=banks, P=P, Hs=Hs,
+                Bs=Bs, Rr_pad=Cb_pad * 128)
 
 
-def _gather_kernel(t_ref, i_ref, o_ref):
-    o_ref[:] = jnp.take_along_axis(t_ref[:], i_ref[:], axis=1)
+def xbar_feasible(n: int, m: int, nnz: int, max_count_h: int) -> bool:
+    """Cheap feasibility probe used by operator selection."""
+    return _geometry(n, m, nnz, int(max_count_h)) is not None
 
 
-def _g1_call(C: int, P: int):
+def _k1_group(Bs: int) -> int:
+    import os
+
+    env = os.environ.get("SLT_XBAR_G1")
+    cap = int(env) if env else 4
+    for g in (8, 4, 2):
+        if g <= cap and Bs % g == 0:
+            return g
+    return 1
+
+
+def _k1_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int):
+    """Fused G1+T1+G2: (x2d, idx_src, val_src, idx2) -> o2t (Bs, Bd, 128).
+
+    G source blocks are processed per grid step so each DMA moves >=256 KB
+    (per-step transfer overhead dominated the memory bound at G=1)."""
+    bw = banks * 128
+    G = _k1_group(Bs)
+
+    def kernel(x_ref, is_ref, vs_ref, i2_ref, o_ref):
+        for g in range(G):
+            sb = pl.program_id(0) * G + g
+            h0 = (sb % cb_s) * 128
+            xb = x_ref[pl.ds(h0, 128), :]
+            idx = is_ref[g * 128:(g + 1) * 128, :].astype(jnp.int32)
+            prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[g * 128:(g + 1) * 128, :]
+            t1 = prod.T                                   # (ds, ss)
+            for t in range(banks):
+                it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128].astype(jnp.int32)
+                o2b = jnp.take_along_axis(t1, it, axis=1)  # (ds, db')
+                w = min(128, Bd - t * 128)
+                o_ref[g, t * 128:t * 128 + w, :] = o2b.T[:w, :]
+
     return pl.pallas_call(
-        _gather_prod_kernel,
-        grid=(P,),
+        kernel,
+        grid=(Bs // G,),
         in_specs=[
-            pl.BlockSpec((C, 128), lambda p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 128), lambda p: (p, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 128), lambda p: (p, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C_src, 128), lambda sb: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 128, 128), lambda sb: (sb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 128, 128), lambda sb: (sb, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 128, bw), lambda sb: (sb, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, 128), lambda p: (p, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((P * C, 128), jnp.float32),
+        out_specs=pl.BlockSpec((G, Bd, 128), lambda sb: (sb, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bs, Bd, 128), jnp.float32),
         interpret=_interpret(),
     )
 
 
-def _g_call(rows: int):
+def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
+    """Fused rotate+T2+G3+K-sum: (o2t, idx3) -> y2d (Rr_pad, 128)."""
+    small = Cb_pad <= 8
+    G_rows = min(Cb_pad, 8)          # y rows (in 128-chunks) per out block
+    if small:
+        import os
+
+        cap = int(os.environ.get("SLT_XBAR_G2", "16"))
+        G2 = next((g for g in (32, 16, 8) if g <= cap and Bd % g == 0), 8)
+        grid = (1, Bd // G2)
+        o2t_idx = lambda j8, s: (0, s, 0)
+        i3_idx = lambda j8, s: (s, 0)
+        out_idx = lambda j8, s: (0, 0)
+    else:
+        G2 = 8
+        J8 = Cb_pad // 8
+        grid = (J8, K)
+        o2t_idx = lambda j8, k: (0, k * J8 + j8, 0)
+        i3_idx = lambda j8, k: (k * J8 + j8, 0)
+        out_idx = lambda j8, k: (j8, 0)
+
+    def kernel(o_ref, i3_ref, y_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Bs, 128), 1)
+        for i in range(G2):
+            if small:
+                db = G2 * pl.program_id(1) + i
+                k = db // Cb_pad
+                jrow = (i % Cb_pad) * 128
+            else:
+                k = pl.program_id(1)
+                jrow = i * 128
+            s_k = (k * ROT) % 128
+            m = o_ref[:, i, :]                                  # (Bs, ds)
+            rot = (lane + s_k) & 127
+            mp = jnp.take_along_axis(m, rot, axis=1)            # (Bs, dsr)
+            mt = mp.T                                           # (dsr, Bs)
+            if Bs < 128:
+                mt = jnp.concatenate(
+                    [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
+            i3 = i3_ref[i * 128:(i + 1) * 128, :].astype(jnp.int32)
+            o3 = jnp.take_along_axis(mt, i3, axis=1)            # (dsr, rl)
+            y_ref[jrow:jrow + 128, :] += o3
+
     return pl.pallas_call(
-        _gather_kernel,
-        grid=(pl.cdiv(rows, RB),),
+        kernel,
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Bs, G2, 128), o2t_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2 * 128, 128), i3_idx, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        out_specs=pl.BlockSpec((G_rows * 128, 128), out_idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cb_pad * 128, 128), jnp.float32),
         interpret=_interpret(),
     )
 
@@ -97,11 +261,11 @@ class XbarOperator:
 
     def __init__(self, idx_src, val_src, idx2, idx3, tail_vals, tail_rows,
                  tail_cols, diag, inv_diag, *, shape, n_pad, m_pad, C_src,
-                 C_dst, Rr, P, K, Bs, banks, nnz):
-        self.idx_src = idx_src    # (P*C_src, 128) i32 — lane lo of gathered col
-        self.val_src = val_src    # (P*C_src, 128) f32
-        self.idx2 = idx2          # (banks, Bs*128, 128) i32
-        self.idx3 = idx3          # (banks*16384, 128) i32
+                 cb_s, Rr, Cb_pad, P, K, Bs, Bd, banks, nnz):
+        self.idx_src = idx_src    # (Hs, 128) i8 — lane lo of gathered col
+        self.val_src = val_src    # (Hs, 128) f32
+        self.idx2 = idx2          # (Hs, banks*128) i8 — source sublane ss
+        self.idx3 = idx3          # (Bd*128, 128) i8 — source block sb
         self.tail_vals = tail_vals
         self.tail_rows = tail_rows
         self.tail_cols = tail_cols
@@ -111,11 +275,13 @@ class XbarOperator:
         self.n_pad = n_pad        # row space (dest), multiple of 16384
         self.m_pad = m_pad        # col space (source), multiple of 16384
         self.C_src = C_src
-        self.C_dst = C_dst
-        self.Rr = Rr              # real row chunks; dest rows = rh*K+k, rh<Rr
+        self.cb_s = cb_s
+        self.Rr = Rr              # real row chunks
+        self.Cb_pad = Cb_pad      # padded row-chunk blocks (Rr_pad = 128*Cb_pad)
         self.P = P
         self.K = K
         self.Bs = Bs
+        self.Bd = Bd
         self.banks = banks
         self._nnz = nnz
 
@@ -124,16 +290,18 @@ class XbarOperator:
         children = (self.idx_src, self.val_src, self.idx2, self.idx3,
                     self.tail_vals, self.tail_rows, self.tail_cols,
                     self.diag, self.inv_diag)
-        aux = (self.shape, self.n_pad, self.m_pad, self.C_src, self.C_dst,
-               self.Rr, self.P, self.K, self.Bs, self.banks, self._nnz)
+        aux = (self.shape, self.n_pad, self.m_pad, self.C_src, self.cb_s,
+               self.Rr, self.Cb_pad, self.P, self.K, self.Bs, self.Bd,
+               self.banks, self._nnz)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (shape, n_pad, m_pad, C_src, C_dst, Rr, P, K, Bs, banks, nnz) = aux
+        (shape, n_pad, m_pad, C_src, cb_s, Rr, Cb_pad, P, K, Bs, Bd, banks,
+         nnz) = aux
         return cls(*children, shape=shape, n_pad=n_pad, m_pad=m_pad,
-                   C_src=C_src, C_dst=C_dst, Rr=Rr, P=P, K=K, Bs=Bs,
-                   banks=banks, nnz=nnz)
+                   C_src=C_src, cb_s=cb_s, Rr=Rr, Cb_pad=Cb_pad, P=P, K=K,
+                   Bs=Bs, Bd=Bd, banks=banks, nnz=nnz)
 
     @property
     def dtype(self):
@@ -147,26 +315,20 @@ class XbarOperator:
     def nnz(self) -> int:
         return self._nnz
 
+    @property
+    def hbm_bytes_per_matvec(self) -> int:
+        """Bytes moved per matvec (for roofline accounting)."""
+        o2t = self.Bs * self.Bd * 128 * 4
+        return (self.idx_src.size + self.idx2.size + self.idx3.size
+                + self.val_src.size * 4 + 2 * o2t
+                + self.m_pad * 4 + self.n_pad * 4 + self.tail_nnz * 12)
+
     def matvec(self, x: jax.Array) -> jax.Array:
-        C, P, K, Bs, banks = self.C_src, self.P, self.K, self.Bs, self.banks
-        Hd = K * self.Rr
-        x2d = x.astype(jnp.float32).reshape(C, 128)
-        prod = _g1_call(C, P)(x2d, self.idx_src, self.val_src)
-        t1 = prod.reshape(Bs, 128, 128).swapaxes(1, 2).reshape(Bs * 128, 128)
-        g2 = _g_call(Bs * 128)
-        t2s = []
-        for t in range(banks):
-            o2 = g2(t1, self.idx2[t]).reshape(Bs, 128, 128)
-            t2 = o2.transpose(2, 1, 0)                  # (128,128,Bs)
-            if Bs < 128:
-                t2 = jnp.pad(t2, ((0, 0), (0, 0), (0, 128 - Bs)))
-            t2s.append(t2.reshape(128 * 128, 128))
-        t2_all = jnp.concatenate(t2s, axis=0) if banks > 1 else t2s[0]
-        o3 = _g_call(banks * 16384)(t2_all, self.idx3)
-        y2d = o3[:Hd].reshape(self.Rr, K, 128).sum(axis=1)
-        if self.Rr < self.C_dst:
-            y2d = jnp.pad(y2d, ((0, self.C_dst - self.Rr), (0, 0)))
-        y = y2d.reshape(self.n_pad).astype(x.dtype)
+        x2d = x.astype(jnp.float32).reshape(self.C_src, 128)
+        o2t = _k1_call(self.C_src, self.Bs, self.Bd, self.banks,
+                       self.cb_s)(x2d, self.idx_src, self.val_src, self.idx2)
+        y2d = _k2_call(self.Bs, self.Bd, self.K, self.Cb_pad)(o2t, self.idx3)
+        y = y2d.reshape(-1)[:self.n_pad].astype(x.dtype)
         if self.tail_nnz:
             y = y + spmv.coo_matvec(self.tail_vals.astype(x.dtype),
                                     self.tail_rows, self.tail_cols, x,
@@ -198,22 +360,77 @@ def _first_per_key(keys: np.ndarray) -> np.ndarray:
     return out
 
 
-def xbar_feasible(n: int, m: int, nnz: int, max_count_h: int) -> bool:
-    """Cheap feasibility probe used by operator selection."""
-    if n <= 0 or m <= 0 or nnz == 0:
-        return False
-    m_pad = -(-m // GRID_ROWS) * GRID_ROWS
-    C_src = m_pad // 128
-    cap_s = GRID_ROWS // C_src
-    P_min = -(-int(max_count_h) // 128) + 3
-    if P_min > cap_s:
-        return False
-    # stage-2 capacity: Bs*128*Bd_total must hold nnz at <=0.55 load;
-    # dest rows are compacted to real row chunks so Bd_total is only
-    # bounded by the bank count.
-    Bs = min(cap_s, max(P_min, 2)) * (C_src // 128)
-    Bd_total = MAX_BANKS * 128
-    return nnz <= 0.55 * Bs * 128 * Bd_total
+def _route_numpy(rows, cols, vals, g, seed: int, rounds: int):
+    """Randomized-rounds router (NumPy fallback for native route_xbar).
+
+    Returns (plane, k, placed_mask) arrays over the nnz entries."""
+    nnz = len(rows)
+    C_src, P, K = g["C_src"], g["P"], g["K"]
+    Bs, Bd, Cb_pad = g["Bs"], g["Bd"], g["Cb_pad"]
+    Hs = g["Hs"]
+    h = (cols >> 7).astype(np.int64)
+    rh = (rows >> 7).astype(np.int64)
+    dsr = (rh & 127).astype(np.int32)
+    jc = (rh >> 7).astype(np.int64)
+
+    # per-row dest slot counter + randomized offset
+    order = np.argsort(rows, kind="stable")
+    inv = np.empty_like(order); inv[order] = np.arange(nnz)
+    sorted_rows = rows[order]
+    seg_start = np.r_[0, np.flatnonzero(np.diff(sorted_rows)) + 1]
+    seg_counts = np.diff(np.r_[seg_start, nnz])
+    cum = (np.arange(nnz) - np.repeat(seg_start, seg_counts))[inv]
+    rng = np.random.default_rng(seed)
+    n = g["shape_n"]
+    off = rng.integers(0, K, n).astype(np.int64)
+    in_slot = cum < K
+    k = ((cum + off[rows]) % K).astype(np.int32)
+
+    def ds_of(ki, idx):
+        return ((dsr[idx] + ki * ROT) & 127).astype(np.int32)
+
+    def db_of(ki, idx):
+        return (ki.astype(np.int64) * Cb_pad + jc[idx]).astype(np.int32)
+
+    occ1 = np.zeros((Hs, 128), dtype=bool)
+    occ2 = np.zeros((Bs * 128, Bd), dtype=bool)
+    occd = np.zeros((n, K), dtype=bool)
+    si = np.flatnonzero(in_slot)
+    occd[rows[si], k[si]] = True
+    plane = np.full(nnz, -1, dtype=np.int32)
+    pending = si
+    for rnd in range(rounds):
+        if len(pending) == 0:
+            break
+        if rnd >= 8:
+            kp = rng.integers(0, K, len(pending)).astype(np.int32)
+            rp = rows[pending]
+            ok = ~occd[rp, kp]
+            keyd = rp * np.int64(K) + kp
+            ok &= _first_per_key(np.where(ok, keyd, -1 - np.arange(len(kp))))
+            moved = pending[ok]
+            occd[rows[moved], k[moved]] = False
+            occd[rows[moved], kp[ok]] = True
+            k[moved] = kp[ok]
+        p = rng.integers(0, P, len(pending)).astype(np.int64)
+        srow = p * C_src + h[pending]
+        dsp = ds_of(k[pending], pending)
+        dbp = db_of(k[pending], pending)
+        sb = srow >> 7
+        cand = ~occ1[srow, dsp]
+        cand &= ~occ2[sb * 128 + dsp, dbp]
+        key2 = (sb * 128 + dsp) * np.int64(Bd) + dbp
+        cand &= _first_per_key(np.where(cand, key2, -1 - np.arange(len(p))))
+        key1 = srow * 128 + dsp
+        cand &= _first_per_key(np.where(cand, key1, -1 - np.arange(len(p))))
+        placed = pending[cand]
+        plane[placed] = p[cand]
+        ps = srow[cand]
+        occ1[ps, dsp[cand]] = True
+        occ2[(ps >> 7) * 128 + dsp[cand], dbp[cand]] = True
+        pending = pending[~cand]
+
+    return plane, k
 
 
 def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
@@ -228,120 +445,53 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
     cols = np.asarray(cols, dtype=np.int64).ravel()
     vals = np.asarray(vals, dtype=np.float32).ravel()
     nnz = len(rows)
-    n_pad = -(-max(n, 1) // GRID_ROWS) * GRID_ROWS
-    m_pad = -(-max(m, 1) // GRID_ROWS) * GRID_ROWS
-    C_src = m_pad // 128
-    C_dst = n_pad // 128
     if nnz == 0:
         return None
-
-    h = (cols >> 7).astype(np.int64)
-    lo = (cols & 127).astype(np.int32)
-    rh = (rows >> 7).astype(np.int64)
-    rl = (rows & 127).astype(np.int32)
-
-    counts_h = np.bincount(h, minlength=C_src)
-    max_count_h = int(counts_h.max())
-    cb_s = C_src // 128
-    cap_s = GRID_ROWS // C_src
-    Rr = int(-(-n // 128))  # real row chunks: dest rows are rh*K+k, rh < Rr
-
-    tgt_blocks = int(np.ceil(np.sqrt(max(nnz, 1) / 64.0)))
-    P_min = -(-max_count_h // 128) + 3
-    P = int(min(cap_s, max(P_min, -(-tgt_blocks // cb_s)) + 1))
-    if P < P_min:
+    h_all = (cols >> 7).astype(np.int64)
+    m_pad_probe = -(-m // GRID_ROWS) * GRID_ROWS
+    counts_h = np.bincount(h_all, minlength=m_pad_probe // 128)
+    g = _geometry(n, m, nnz, int(counts_h.max()))
+    if g is None:
         return None
-    # dest slots per row: enough for ~tgt_blocks dest blocks and <=1/3 load,
-    # capped by the banked grid budget
-    K = max(-(-tgt_blocks * 128 // Rr), -(-ROUTE_LOAD * nnz // (Rr * 128)), 8)
-    K = int(min(K, MAX_BANKS * GRID_ROWS // Rr))
+    g["shape_n"] = n
+    C_src, P, K = g["C_src"], g["P"], g["K"]
+    Bs, Bd, Cb_pad, Hs = g["Bs"], g["Bd"], g["Cb_pad"], g["Hs"]
+    banks = g["banks"]
+    n_pad, m_pad = g["n_pad"], g["m_pad"]
 
-    Hs = P * C_src
-    Bs = Hs // 128
-    Hd = K * Rr
-    Bd = -(-Hd // 128)
-    banks = -(-Bd // 128)
-    if Bs > 128 or banks > MAX_BANKS:
-        return None
-    if nnz > 0.7 * Bs * 128 * Bd:
-        return None
-
-    # per-row dest slot counter + randomized offset
-    order = np.argsort(rows, kind="stable")
-    inv = np.empty_like(order); inv[order] = np.arange(nnz)
-    sorted_rows = rows[order]
-    seg_start = np.r_[0, np.flatnonzero(np.diff(sorted_rows)) + 1]
-    seg_counts = np.diff(np.r_[seg_start, nnz])
-    cum = (np.arange(nnz) - np.repeat(seg_start, seg_counts))[inv]
-    rng = np.random.default_rng(seed)
-    off = rng.integers(0, K, n).astype(np.int64)
-    in_slot = cum < K
-    k = ((cum + off[rows]) % K).astype(np.int32)
-    drow = rh * K + k
-    ds = (drow & 127).astype(np.int32)
-    db = (drow >> 7).astype(np.int32)
-
-    # randomized-rounds routing with dest-slot redraw for stuck entries
-    occ1 = np.zeros((Hs, 128), dtype=bool)
-    occ2 = np.zeros((Bs * 128, banks * 128), dtype=bool)
-    occd = np.zeros((n, K), dtype=bool)
-    si = np.flatnonzero(in_slot)
-    occd[rows[si], k[si]] = True
-    plane = np.full(nnz, -1, dtype=np.int32)
-    pending = si
-    usable_P = P - 1  # last plane reserved empty: known-zero source for idx3
-    for rnd in range(rounds):
-        if len(pending) == 0:
-            break
-        if rnd >= 8:
-            kp = rng.integers(0, K, len(pending)).astype(np.int32)
-            rp = rows[pending]
-            ok = ~occd[rp, kp]
-            keyd = rp * np.int64(K) + kp
-            ok &= _first_per_key(np.where(ok, keyd, -1 - np.arange(len(kp))))
-            moved = pending[ok]
-            occd[rows[moved], k[moved]] = False
-            occd[rows[moved], kp[ok]] = True
-            k[moved] = kp[ok]
-            dm = rh[moved] * K + k[moved]
-            ds[moved] = (dm & 127).astype(np.int32)
-            db[moved] = (dm >> 7).astype(np.int32)
-        p = rng.integers(0, usable_P, len(pending)).astype(np.int64)
-        srow = p * C_src + h[pending]
-        dsp, dbp = ds[pending], db[pending]
+    from .. import native as _native
+    idx_src = np.zeros((Hs, 128), dtype=np.int8)
+    val_src = np.zeros((Hs, 128), dtype=np.float32)
+    idx2 = np.zeros((Hs, banks * 128), dtype=np.int8)
+    idx3 = np.full((Bd * 128, 128), Bs - 1, dtype=np.int8)
+    placed = None
+    if _native.available() and hasattr(_native, "route_xbar"):
+        placed = _native.route_xbar(
+            rows, cols, vals, n, C_src, P, K, g["Rr"], Cb_pad, Bd, Hs,
+            seed, idx_src, val_src, idx2, idx3)
+    if placed is None:
+        plane, k = _route_numpy(rows, cols, vals, g, seed, rounds)
+        placed = plane >= 0
+        pi = np.flatnonzero(placed)
+        h = h_all[pi]
+        lo = (cols[pi] & 127).astype(np.int8)
+        rh = (rows[pi] >> 7).astype(np.int64)
+        rl = (rows[pi] & 127).astype(np.int64)
+        dsr = (rh & 127).astype(np.int64)
+        ds = ((dsr + k[pi] * ROT) & 127).astype(np.int64)
+        db = k[pi].astype(np.int64) * Cb_pad + (rh >> 7)
+        srow = plane[pi].astype(np.int64) * C_src + h
+        idx_src[srow, ds] = lo
+        val_src[srow, ds] = vals[pi]
         sb = srow >> 7
-        cand = ~occ1[srow, dsp]
-        cand &= ~occ2[sb * 128 + dsp, dbp]
-        key2 = (sb * 128 + dsp) * np.int64(banks * 128) + dbp
-        cand &= _first_per_key(np.where(cand, key2, -1 - np.arange(len(p))))
-        key1 = srow * 128 + dsp
-        cand &= _first_per_key(np.where(cand, key1, -1 - np.arange(len(p))))
-        placed = pending[cand]
-        plane[placed] = p[cand]
-        ps = srow[cand]
-        occ1[ps, ds[placed]] = True
-        occ2[(ps >> 7) * 128 + ds[placed], db[placed]] = True
-        pending = pending[~cand]
+        ss = (srow & 127).astype(np.int8)
+        idx2[sb * 128 + ds, db] = ss
+        idx3[db * 128 + dsr, rl] = sb.astype(np.int8)
 
-    placed_mask = plane >= 0
-    pi = np.flatnonzero(placed_mask)
-    if len(pi) < 0.5 * nnz:
+    if placed.sum() < 0.5 * nnz:
         return None  # routing collapsed; not an xbar-friendly matrix
 
-    idx_src = np.zeros((Hs, 128), dtype=np.int32)
-    val_src = np.zeros((Hs, 128), dtype=np.float32)
-    idx2 = np.full((banks, Bs * 128, 128), 127, dtype=np.int32)
-    idx3 = np.full((banks * 128 * 128, 128), Bs - 1, dtype=np.int32)
-
-    srow = plane[pi].astype(np.int64) * C_src + h[pi]
-    idx_src[srow, ds[pi]] = lo[pi]
-    val_src[srow, ds[pi]] = vals[pi]
-    sb = (srow >> 7).astype(np.int64)
-    ss = (srow & 127).astype(np.int32)
-    idx2[db[pi] >> 7, sb * 128 + ds[pi], db[pi] & 127] = ss
-    idx3[db[pi].astype(np.int64) * 128 + ds[pi], rl[pi]] = sb.astype(np.int32)
-
-    ti = np.flatnonzero(~placed_mask)
+    ti = np.flatnonzero(~placed)
     to = ti[np.argsort(rows[ti], kind="stable")]
     tail_vals = vals[to].astype(np.float32)
     tail_rows = rows[to].astype(np.int32)
@@ -353,14 +503,17 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
         np.add.at(diag, rows[dmask], vals[dmask].astype(np.float64))
     diag_pad = np.zeros(n_pad, dtype=np.float32)
     diag_pad[:n] = np.asarray(diag, dtype=np.float32)[:n]
-    inv_diag = np.where(diag_pad != 0, 1.0 / np.where(diag_pad == 0, 1.0, diag_pad), 0.0).astype(np.float32)
+    inv_diag = np.where(diag_pad != 0,
+                        1.0 / np.where(diag_pad == 0, 1.0, diag_pad),
+                        0.0).astype(np.float32)
 
     return XbarOperator(
         jnp.asarray(idx_src), jnp.asarray(val_src), jnp.asarray(idx2),
         jnp.asarray(idx3), jnp.asarray(tail_vals), jnp.asarray(tail_rows),
         jnp.asarray(tail_cols), jnp.asarray(diag_pad), jnp.asarray(inv_diag),
-        shape=(n, m), n_pad=n_pad, m_pad=m_pad, C_src=C_src, C_dst=C_dst,
-        Rr=Rr, P=P, K=K, Bs=Bs, banks=banks, nnz=nnz)
+        shape=(n, m), n_pad=n_pad, m_pad=m_pad, C_src=C_src, cb_s=g["cb_s"],
+        Rr=g["Rr"], Cb_pad=Cb_pad, P=P, K=K, Bs=Bs, Bd=Bd, banks=banks,
+        nnz=nnz)
 
 
 def xbar_from_csr(csr, dtype=None):

@@ -1,0 +1,469 @@
+"""Distributed push / PageRank / random-walk / BMSSP over a device mesh.
+
+Completes the SURVEY.md §2.7 parallelism mapping beyond the CG/Neumann
+families (parallel/sharded.py):
+
+  - forward push   -> frontier masks over row shards; the threshold scan is a
+                      psum-max and the residual update rides the split
+                      local/remote SpMV (reference semantics:
+                      /root/reference/src/solver/forward_push.rs:125-216).
+  - PageRank       -> power/Richardson iteration on the row-sharded column-
+                      stochastic operator (solver.ts:664-722 semantics).
+  - random walks   -> walker states live on fixed *home* shards; each step
+                      the walkers are re-bucketed to the shard that OWNS
+                      their current node with `all_to_all`, the owner does
+                      the CDF transition against its local table rows, and a
+                      second `all_to_all` routes the results home
+                      (reference: src/solver/random_walk.rs:65-140; the
+                      all_to_all mapping is the SURVEY §5.8 design).
+  - BMSSP          -> bulk Bellman-Ford relaxation over row-sharded in-edge
+                      tables with an all_gather of the distance vector per
+                      sweep (reference: src/bmssp.rs:93-166).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..formats import ell as _ell
+from ..matrix import Matrix
+from ..solvers import base
+from ..types import SolverOptions, SolverResult
+from ..utils.lru import LRUCache
+from . import mesh as mesh_mod
+from .mesh import ROWS
+from .sharded import shard_operator_split, _split_matvec
+
+_FN_CACHE = LRUCache(maxsize=32)
+
+
+def _mesh_key(mesh: Mesh, tag: str, *extra):
+    return (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat),
+            tag, *extra)
+
+
+# ------------------------------------------------------------------- push
+
+def _push_factory(mesh: Mesh):
+    from ..solvers.push import FRONTIER_ETA
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, ROWS), P(None, ROWS), P(None, ROWS), P(None, ROWS),
+            P(ROWS), P(ROWS), P(ROWS),
+            P(ROWS), P(ROWS), P(ROWS),
+            P(), P(),
+        ),
+        out_specs=(P(ROWS), P(), P()),
+        check_vma=False,
+    )
+    def push_shard(vl, cl, vr, cr, tv, tr, tc, invd_l, b_l, x0_l,
+                   threshold, max_iters):
+        def matvec(v_l):
+            return _split_matvec(vl, cl, vr, cr, tv, tr, tc, v_l)
+
+        def pmax(v_l):
+            return jax.lax.pmax(jnp.max(v_l), ROWS)
+
+        def pnorm(v_l):
+            return jnp.sqrt(jax.lax.psum(jnp.vdot(v_l, v_l), ROWS))
+
+        r0_l = b_l - matvec(x0_l)
+
+        def cond(carry):
+            x_l, r_l, k, res = carry
+            return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
+
+        def body(carry):
+            x_l, r_l, k, _ = carry
+            rmax = pmax(jnp.abs(r_l))                      # global frontier bar
+            frontier = jnp.abs(r_l) >= FRONTIER_ETA * rmax
+            delta_l = jnp.where(frontier, r_l * invd_l, 0.0)
+            x_l = x_l + delta_l
+            r_l = r_l - matvec(delta_l)
+            return x_l, r_l, k + 1, pnorm(r_l)
+
+        carry0 = (x0_l, r0_l, jnp.int32(0), pnorm(r0_l))
+        x_l, r_l, k, res = jax.lax.while_loop(cond, body, carry0)
+        return x_l, k, res
+
+    return jax.jit(push_shard)
+
+
+def solve_push_sharded(
+    matrix: Matrix,
+    b,
+    mesh: Optional[Mesh] = None,
+    options: Optional[SolverOptions] = None,
+    raise_on_fail: bool = True,
+) -> SolverResult:
+    """Distributed forward push: masked frontier sweeps over row shards."""
+    options = options or SolverOptions()
+    mesh = mesh or mesh_mod.make_mesh()
+    op = shard_operator_split(matrix, mesh, options.dtype)
+    n = matrix.shape[0]
+    vec_sh = NamedSharding(mesh, P(ROWS))
+    b_local = jax.device_put(
+        _ell.pad_vector(np.asarray(b, np.float64), op.n_pad, op.dtype), vec_sh)
+    x0_np = np.zeros(op.n_pad) if options.x0 is None else np.pad(
+        np.asarray(options.x0, np.float64), (0, op.n_pad - n))
+    x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh)
+    threshold = base.threshold_for(b, options)
+
+    key = _mesh_key(mesh, "push")
+    fn = _FN_CACHE.get(key) or _FN_CACHE.put(key, _push_factory(mesh))
+    with base.SolveTimer() as t:
+        x, k, res = fn(op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+                       op.tail_vals, op.tail_rows, op.tail_cols,
+                       op.inv_diag, b_local, x0,
+                       jnp.asarray(threshold, op.dtype),
+                       jnp.int32(options.max_iterations))
+        jax.block_until_ready(x)
+    result = base.finalize(matrix, x, k, res, "forward-push-sharded", options,
+                           t.ms, matvec_count=int(jax.device_get(k)))
+    result.distribution = {
+        "shards": op.shards,
+        "bytes_per_shard": op.bytes_per_shard(),
+        "comm_bytes_per_iter": op.comm_bytes_per_gather(),
+    }
+    return base.check_outcome(result, threshold, options, raise_on_fail)
+
+
+# --------------------------------------------------------------- pagerank
+
+def pagerank_sharded(
+    adjacency: Matrix,
+    mesh: Optional[Mesh] = None,
+    alpha: float = 0.85,
+    epsilon: float = 1e-6,
+    max_iterations: int = 1000,
+    personalization=None,
+):
+    """Row-sharded PageRank power iteration x <- (1-a) v + a (P^T x + d v).
+
+    The column-stochastic P^T is built host-side (out-degree normalization,
+    graph/pagerank.py semantics) and row-partitioned; each iteration is one
+    split SpMV (all_gather overlapped with the local block) plus a psum for
+    the dangling mass."""
+    from ..graph.pagerank import PageRankResult, _transition_matrix
+
+    mesh = mesh or mesh_mod.make_mesh()
+    n = adjacency.shape[0]
+    PT = _transition_matrix(adjacency)
+    op = shard_operator_split(PT, mesh)
+
+    out_deg = np.asarray(adjacency.csr.row_nnz(), np.float64)
+    row_sums = np.zeros(op.n_pad)
+    row_sums[:n] = out_deg
+    dangling = np.zeros(op.n_pad)
+    dangling[:n] = (out_deg == 0).astype(np.float64)
+
+    v = np.zeros(op.n_pad)
+    if personalization is not None:
+        p = np.asarray(personalization, np.float64)
+        v[:n] = p / max(p.sum(), 1e-30)
+    else:
+        v[:n] = 1.0 / n
+
+    vec_sh = NamedSharding(mesh, P(ROWS))
+    v_l = jax.device_put(jnp.asarray(v, op.dtype), vec_sh)
+    d_l = jax.device_put(jnp.asarray(dangling, op.dtype), vec_sh)
+    x0 = jax.device_put(jnp.asarray(v, op.dtype), vec_sh)
+
+    key = _mesh_key(mesh, "pagerank")
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(
+                P(None, ROWS), P(None, ROWS), P(None, ROWS), P(None, ROWS),
+                P(ROWS), P(ROWS), P(ROWS),
+                P(ROWS), P(ROWS), P(ROWS),
+                P(), P(), P(),
+            ),
+            out_specs=(P(ROWS), P(), P()),
+            check_vma=False,
+        )
+        def pr_shard(vl, cl, vr, cr, tv, tr, tc, v_l, d_l, x0_l,
+                     alpha, threshold, max_iters):
+            def step(x_l):
+                dmass = jax.lax.psum(jnp.vdot(d_l, x_l), ROWS)
+                y_l = _split_matvec(vl, cl, vr, cr, tv, tr, tc, x_l)
+                return (1.0 - alpha) * v_l + alpha * (y_l + dmass * v_l)
+
+            def cond(carry):
+                x_l, k, res = carry
+                return (res > threshold) & (k < max_iters) & jnp.isfinite(res)
+
+            def body(carry):
+                x_l, k, _ = carry
+                x_new = step(x_l)
+                res = jax.lax.psum(jnp.sum(jnp.abs(x_new - x_l)), ROWS)
+                return x_new, k + 1, res
+
+            x_l, k, res = jax.lax.while_loop(
+                cond, body, (x0_l, jnp.int32(0), jnp.asarray(1e30, x0_l.dtype)))
+            return x_l, k, res
+
+        fn = _FN_CACHE.put(key, jax.jit(pr_shard))
+
+    x, k, res = fn(op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+                   op.tail_vals, op.tail_rows, op.tail_cols,
+                   v_l, d_l, x0,
+                   jnp.asarray(alpha, op.dtype), jnp.asarray(epsilon, op.dtype),
+                   jnp.int32(max_iterations))
+    scores = np.asarray(jax.device_get(x), np.float64)[:n]
+    s = scores.sum()
+    if s > 0:
+        scores = scores / s
+    return PageRankResult(
+        scores=scores, iterations=int(jax.device_get(k)),
+        residual=float(jax.device_get(res)),
+        converged=bool(jax.device_get(res) <= epsilon),
+        damping=float(alpha), personalized=personalization is not None,
+    )
+
+
+# ------------------------------------------------------------------ walks
+
+def _walk_factory(mesh: Mesh, max_len: int, W_l: int):
+    """Sharded walker engine: two all_to_alls per step (queries to the node
+    owner, transition results back to the walker's home shard)."""
+    D = int(mesh.shape[ROWS])
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P(ROWS), P(ROWS), P(ROWS), P(ROWS),   # cols, cdf, sign, S (row-sharded tables)
+            P(ROWS),                               # c (sharded)
+            P(ROWS),                               # start nodes (home-sharded)
+            P(),                                   # seed
+        ),
+        out_specs=(P(ROWS), P()),
+        check_vma=False,
+    )
+    def walk_shard(cols_l, cdf_l, sign_l, S_l, c_l, starts_l, seed):
+        Sh = c_l.shape[0]                      # rows per shard
+        dt = c_l.dtype
+        me = jax.lax.axis_index(ROWS)
+        key0 = jax.random.fold_in(jax.random.PRNGKey(seed), me)
+        w_min = jnp.asarray(1e-4, dt)
+
+        def a2a(x):
+            if D == 1:
+                return x
+            return jax.lax.all_to_all(x, ROWS, split_axis=0, concat_axis=0,
+                                      tiled=True)
+
+        def owner_step(pos_q, u_q):
+            """Transition for query walkers whose node THIS shard owns.
+            pos_q: (D*W_l,) global node ids (may be foreign: masked out)."""
+            loc = pos_q - me * Sh
+            mine = (loc >= 0) & (loc < Sh)
+            loc = jnp.clip(loc, 0, Sh - 1)
+            row_cdf = jnp.take(cdf_l, loc, axis=0)            # (Q, K)
+            slot = jnp.sum(u_q[:, None] >= row_cdf, axis=1)
+            slot = jnp.minimum(slot, row_cdf.shape[1] - 1)
+            sgn = jnp.take_along_axis(jnp.take(sign_l, loc, axis=0), slot[:, None], axis=1)[:, 0]
+            nxt = jnp.take_along_axis(jnp.take(cols_l, loc, axis=0), slot[:, None], axis=1)[:, 0]
+            s_here = jnp.take(S_l, loc)
+            c_here = jnp.take(c_l, loc)
+            z = jnp.zeros_like(sgn)
+            return (jnp.where(mine, nxt, 0).astype(jnp.int32),
+                    jnp.where(mine, sgn * s_here, z),
+                    jnp.where(mine, c_here, z),
+                    jnp.where(mine, s_here, z))
+
+        def body(carry):
+            pos, w, acc, t, key = carry
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (W_l,), dt)
+            # bucket walkers by owner shard: sort-free scatter via all_to_all
+            # of FULL per-destination slabs (each dest gets every walker slot;
+            # it masks to the ones it owns) — static shapes, no overflow.
+            pos_q = a2a(jnp.tile(pos, (D,)))          # (D*W_l,) queries at owner
+            u_q = a2a(jnp.tile(u, (D,)))
+            nxt_q, wf_q, c_q, s_q = owner_step(pos_q, u_q)
+            # route answers home: reverse all_to_all; sum over owner slabs
+            # (exactly one owner produced a nonzero answer per walker)
+            def back(x):
+                return a2a(x).reshape(D, W_l).sum(axis=0)
+            nxt = back(nxt_q.astype(dt)).astype(jnp.int32)
+            w_fac = back(wf_q)
+            c_here = back(c_q)
+            s_here = back(s_q)
+            acc = acc + w * c_here
+            w = jnp.where(s_here > 0, w * w_fac, 0.0)
+            pos = jnp.where(s_here > 0, nxt, pos)
+            return pos, w, acc, t + 1, key
+
+        def cond(carry):
+            pos, w, acc, t, key = carry
+            alive = jax.lax.psum(jnp.sum((jnp.abs(w) > w_min).astype(jnp.int32)), ROWS)
+            return (t < max_len) & (alive > 0)
+
+        carry0 = (starts_l, jnp.ones(W_l, dt), jnp.zeros(W_l, dt),
+                  jnp.int32(0), key0)
+        pos, w, acc, t, _ = jax.lax.while_loop(cond, body, carry0)
+        return acc, t
+
+    return jax.jit(walk_shard)
+
+
+def walk_estimate_sharded(
+    matrix: Matrix,
+    b,
+    start_nodes,
+    mesh: Optional[Mesh] = None,
+    options: Optional[SolverOptions] = None,
+):
+    """Monte-Carlo estimates of x[start_nodes] with mesh-sharded walkers.
+
+    Walkers are home-sharded by start node; every step re-buckets them to the
+    owner shard of their current node via all_to_all (queries + answers).
+    Sampling tables and the local source term c = D^-1 b are row-sharded, so
+    per-chip memory is O(nnz/D), unlike the single-chip engine."""
+    from ..config import LANE, round_up
+    from ..solvers.random_walk import sampling_tables, default_num_walks
+
+    options = options or SolverOptions()
+    mesh = mesh or mesh_mod.make_mesh()
+    D = int(mesh.shape[ROWS])
+    tables = sampling_tables(matrix, options.dtype)
+    op = matrix.op(options.dtype)
+    n = matrix.shape[0]
+
+    n_pad = round_up(max(n, 1), LANE * D)
+    pad = n_pad - tables.n_pad
+
+    def prow(a):
+        return jnp.pad(a, ((0, pad), (0, 0))) if a.ndim == 2 else jnp.pad(a, (0, pad))
+
+    b_pad = _ell.pad_vector(np.asarray(b, np.float64), n_pad, op.dtype)
+    inv_diag = prow(op.inv_diag) if op.n_pad == tables.n_pad else None
+    if inv_diag is None or inv_diag.shape[0] != n_pad:
+        diag = np.zeros(n_pad)
+        diag[:n] = np.asarray(matrix.csr.diagonal_vector(), np.float64)
+        inv_diag = jnp.asarray(np.where(diag != 0, 1.0 / np.where(diag == 0, 1, diag), 0.0), op.dtype)
+    c = inv_diag * b_pad
+
+    starts = np.asarray(start_nodes, np.int64).reshape(-1)
+    walks_per = max(int(default_num_walks(options)) // 64, 4)
+    W_g = starts.size * walks_per
+    W_l = max(-(-W_g // D), 1)
+    starts_all = np.zeros(D * W_l, dtype=np.int32)
+    reps = np.repeat(starts, walks_per)
+    starts_all[: reps.size] = reps
+    weights = np.zeros(D * W_l)
+    weights[: reps.size] = 1.0
+
+    vec_sh = NamedSharding(mesh, P(ROWS))
+    put = jax.device_put
+    key = _mesh_key(mesh, "walk", int(options.max_walk_length or 64), W_l)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = _FN_CACHE.put(key, _walk_factory(mesh, int(options.max_walk_length or 64), W_l))
+
+    acc, t = fn(
+        put(prow(tables.cols), vec_sh), put(prow(tables.cdf), vec_sh),
+        put(prow(tables.sign), vec_sh), put(prow(tables.S), vec_sh),
+        put(c, vec_sh),
+        put(jnp.asarray(starts_all), vec_sh),
+        jnp.int32(options.seed or 0),
+    )
+    acc_h = np.asarray(jax.device_get(acc), np.float64) * weights
+    est = acc_h[: reps.size].reshape(starts.size, walks_per).mean(axis=1)
+    return est, int(jax.device_get(t))
+
+
+# ------------------------------------------------------------------ bmssp
+
+def bmssp_sharded(
+    matrix: Matrix,
+    sources,
+    source_values=None,
+    mesh: Optional[Mesh] = None,
+    bound: float = None,
+):
+    """Distributed bounded multi-source shortest paths (BMSSP): in-edge
+    tables row-sharded by target node; each bulk Bellman-Ford sweep
+    all_gathers the distance/source-value vectors and relaxes locally; the
+    convergence flag is a psum-any.  Reference: src/bmssp.rs:93-166."""
+    from ..config import LANE, round_up
+    from ..solvers.bmssp import INF, MAX_SWEEPS, in_edge_tables
+
+    mesh = mesh or mesh_mod.make_mesh()
+    D = int(mesh.shape[ROWS])
+    tables = in_edge_tables(matrix)
+    n = matrix.shape[0]
+    n_pad = round_up(max(n, 1), LANE * D)
+    pad = n_pad - tables.srcs.shape[0]
+    srcs = jnp.pad(tables.srcs, ((0, pad), (0, 0)))
+    costs = jnp.pad(tables.costs, ((0, pad), (0, 0)), constant_values=INF)
+    bound = INF if bound is None else float(bound)
+
+    dist0 = np.full(n_pad, INF)
+    srcval0 = np.zeros(n_pad)
+    sources = np.asarray(sources, np.int64).reshape(-1)
+    vals = (np.asarray(source_values, np.float64).reshape(-1)
+            if source_values is not None else np.ones(sources.size))
+    dist0[sources] = 0.0
+    srcval0[sources] = vals
+
+    key = _mesh_key(mesh, "bmssp")
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS), P()),
+            out_specs=(P(ROWS), P(ROWS), P()),
+            check_vma=False,
+        )
+        def bmssp_shard(srcs_l, costs_l, dist_l, srcval_l, bound):
+            def cond(carry):
+                dist_l, srcval_l, changed, sweeps = carry
+                any_changed = jax.lax.psum(changed.astype(jnp.int32), ROWS) > 0
+                return any_changed & (sweeps < MAX_SWEEPS)
+
+            def body(carry):
+                dist_l, srcval_l, _, sweeps = carry
+                dist = jax.lax.all_gather(dist_l, ROWS, tiled=True)
+                srcval = jax.lax.all_gather(srcval_l, ROWS, tiled=True)
+                cand = jnp.take(dist, srcs_l, axis=0) + costs_l
+                k_best = jnp.argmin(cand, axis=1)
+                best = jnp.take_along_axis(cand, k_best[:, None], axis=1)[:, 0]
+                improved = (best < dist_l) & (best <= bound)
+                sv_cand = jnp.take(srcval, srcs_l, axis=0)
+                sv_best = jnp.take_along_axis(sv_cand, k_best[:, None], axis=1)[:, 0]
+                dist_l = jnp.where(improved, best, dist_l)
+                srcval_l = jnp.where(improved, sv_best, srcval_l)
+                return dist_l, srcval_l, jnp.any(improved), sweeps + 1
+
+            dist_l, srcval_l, _, sweeps = jax.lax.while_loop(
+                cond, body, (dist_l, srcval_l, jnp.bool_(True), jnp.int32(0)))
+            return dist_l, srcval_l, sweeps
+
+        fn = _FN_CACHE.put(key, jax.jit(bmssp_shard))
+
+    vec_sh = NamedSharding(mesh, P(ROWS))
+    ell_sh = NamedSharding(mesh, P(ROWS, None))
+    put = jax.device_put
+    dt = costs.dtype
+    dist, srcval, sweeps = fn(
+        put(srcs, ell_sh), put(costs, ell_sh),
+        put(jnp.asarray(dist0, dt), vec_sh), put(jnp.asarray(srcval0, dt), vec_sh),
+        jnp.asarray(bound, dt),
+    )
+    dist_h = np.asarray(jax.device_get(dist), np.float64)
+    srcval_h = np.asarray(jax.device_get(srcval), np.float64)
+    x = np.where(dist_h < INF * 0.5, srcval_h / (1.0 + dist_h), 0.0)
+    return dist_h[:n], x[:n], int(jax.device_get(sweeps))

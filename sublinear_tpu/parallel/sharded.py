@@ -35,16 +35,14 @@ from .mesh import BATCH, ROWS
 
 
 def shard_operator(matrix: Matrix, mesh: Mesh, dtype=None) -> _ell.EllOperator:
-    """Build an ELL operator padded to the mesh row-count and place its arrays.
-
-    slot_cap is forced to the max row nnz (no COO tail) so every shard's data
-    is self-contained under a plain row partition."""
+    """Build an ELL operator padded to the mesh row-count and place its arrays
+    (GSPMD path: XLA partitions the kernels, including the hub-row COO tail —
+    slot_cap stays at the 98th-percentile default so power-law matrices don't
+    blow ELL memory up to K_max * n_pad per shard)."""
     n_rows_axis = mesh.shape[ROWS]
     csr = matrix.csr
     n = csr.shape[0]
-    row_nnz = csr.row_nnz()
-    K = max(int(row_nnz.max()) if row_nnz.size else 1, 1)
-    op = _ell.ell_from_csr(csr, dtype, slot_cap=K)
+    op = _ell.ell_from_csr(csr, dtype)
 
     target = round_up(max(n, 1), LANE * n_rows_axis)
     if op.n_pad != target:
@@ -73,63 +71,206 @@ def shard_operator(matrix: Matrix, mesh: Mesh, dtype=None) -> _ell.EllOperator:
     )
 
 
+class SplitShardedOperator:
+    """Row-partitioned operator for the explicit shard_map solvers.
+
+    Per shard, the owned row block is split into
+      - a *local* ELL block (columns owned by the same shard, local indices)
+        whose matvec needs no communication,
+      - a *remote* ELL block (global column indices into the gathered vector),
+      - a per-shard COO tail (local rows, global columns) absorbing hub-row
+        overflow so slot caps stay at the 98th percentile even on power-law
+        degree distributions (the round-2 `slot_cap = max(row_nnz)` scheme
+        made one hub row cost K*n_pad/D per shard).
+
+    The local/remote split lets XLA overlap the p all_gather with the
+    communication-free local SpMV (SURVEY.md §5.7/§5.8; the reference's rayon
+    row-chunk parallel matvec /root/reference/src/matrix/optimized.rs:397-449
+    has no equivalent overlap structure).
+    """
+
+    def __init__(self, vals_loc, cols_loc, vals_rem, cols_rem, tail_vals,
+                 tail_rows, tail_cols, diag, inv_diag, *, shape, n_pad,
+                 shards, tail_per_shard):
+        self.vals_loc = vals_loc        # (K_loc, n_pad) sharded P(None, ROWS)
+        self.cols_loc = cols_loc        # int32, LOCAL column indices
+        self.vals_rem = vals_rem        # (K_rem, n_pad) sharded P(None, ROWS)
+        self.cols_rem = cols_rem        # int32, GLOBAL column indices
+        self.tail_vals = tail_vals      # (D*T,) sharded P(ROWS)
+        self.tail_rows = tail_rows      # (D*T,) LOCAL row idx, sorted per shard
+        self.tail_cols = tail_cols      # (D*T,) GLOBAL col idx
+        self.diag = diag                # (n_pad,) sharded P(ROWS)
+        self.inv_diag = inv_diag        # (n_pad,) sharded P(ROWS)
+        self.shape = shape
+        self.n_pad = n_pad
+        self.shards = shards
+        self.tail_per_shard = tail_per_shard
+
+    @property
+    def dtype(self):
+        return self.vals_loc.dtype
+
+    def bytes_per_shard(self) -> int:
+        """Device bytes held per shard (memory accounting for scaling runs)."""
+        per = 0
+        for a in (self.vals_loc, self.cols_loc, self.vals_rem, self.cols_rem):
+            per += a.size * a.dtype.itemsize // self.shards
+        for a in (self.tail_vals, self.tail_rows, self.tail_cols,
+                  self.diag, self.inv_diag):
+            per += a.size * a.dtype.itemsize // self.shards
+        return per
+
+    def comm_bytes_per_gather(self) -> int:
+        """Bytes received per device by one tiled all_gather of the iterate."""
+        S = self.n_pad // self.shards
+        return (self.n_pad - S) * self.dtype.itemsize
+
+
+def shard_operator_split(matrix: Matrix, mesh: Mesh, dtype=None) -> SplitShardedOperator:
+    """Build the local/remote split operator for explicit shard_map solvers."""
+    from ..config import resolve_dtype
+
+    dt = resolve_dtype(dtype)
+    D = int(mesh.shape[ROWS])
+    csr = matrix.csr
+    n, m = csr.shape
+    n_pad = round_up(max(n, 1), LANE * D)
+    S = n_pad // D
+
+    rows = csr.row_of_entry().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    data = csr.data
+    owner = rows // S
+    is_loc = (cols // S) == owner
+
+    # per-row slot position within each class (entries are CSR row-sorted)
+    def class_positions(mask):
+        idx = np.flatnonzero(mask)
+        r = rows[idx]
+        # position of each entry within its row, in CSR order
+        start = np.r_[0, np.flatnonzero(np.diff(r)) + 1]
+        counts = np.diff(np.r_[start, len(r)])
+        pos = np.arange(len(r)) - np.repeat(start, counts)
+        cnt = np.bincount(r, minlength=n)
+        return idx, pos, cnt
+
+    li, lpos, lcnt = class_positions(is_loc)
+    ri, rpos, rcnt = class_positions(~is_loc)
+    K_loc = _ell.choose_slot_cap(lcnt)
+    K_rem = _ell.choose_slot_cap(rcnt) if len(ri) else 1
+
+    vals_loc = np.zeros((K_loc, n_pad), dtype=np.float64)
+    cols_loc = np.zeros((K_loc, n_pad), dtype=np.int32)
+    sel = lpos < K_loc
+    vals_loc[lpos[sel], rows[li][sel]] = data[li][sel]
+    cols_loc[lpos[sel], rows[li][sel]] = (cols[li][sel] - owner[li][sel] * S)
+
+    vals_rem = np.zeros((K_rem, n_pad), dtype=np.float64)
+    cols_rem = np.zeros((K_rem, n_pad), dtype=np.int32)
+    selr = rpos < K_rem
+    vals_rem[rpos[selr], rows[ri][selr]] = data[ri][selr]
+    cols_rem[rpos[selr], rows[ri][selr]] = cols[ri][selr]
+
+    # hub-row overflow -> per-shard COO tail, padded to a uniform length
+    ti = np.concatenate([li[~sel], ri[~selr]])
+    t_owner = owner[ti]
+    T = int(np.bincount(t_owner, minlength=D).max()) if len(ti) else 0
+    T = max(T, 1)
+    tail_vals = np.zeros(D * T, dtype=np.float64)
+    tail_rows = np.full(D * T, S - 1, dtype=np.int32)   # keep rows sorted
+    tail_cols = np.zeros(D * T, dtype=np.int32)
+    for d in range(D):
+        e = ti[t_owner == d]
+        e = e[np.argsort(rows[e], kind="stable")]
+        tail_vals[d * T:d * T + len(e)] = data[e]
+        tail_rows[d * T:d * T + len(e)] = (rows[e] - d * S).astype(np.int32)
+        tail_cols[d * T:d * T + len(e)] = cols[e].astype(np.int32)
+
+    diag, inv_diag = _ell._diag_arrays(csr, n_pad, dt)
+
+    ell_sh = NamedSharding(mesh, P(None, ROWS))
+    vec_sh = NamedSharding(mesh, P(ROWS))
+    put = jax.device_put
+    return SplitShardedOperator(
+        put(jnp.asarray(vals_loc, dt), ell_sh), put(jnp.asarray(cols_loc), ell_sh),
+        put(jnp.asarray(vals_rem, dt), ell_sh), put(jnp.asarray(cols_rem), ell_sh),
+        put(jnp.asarray(tail_vals, dt), vec_sh), put(jnp.asarray(tail_rows), vec_sh),
+        put(jnp.asarray(tail_cols), vec_sh),
+        put(diag, vec_sh), put(inv_diag, vec_sh),
+        shape=(n, m), n_pad=n_pad, shards=D, tail_per_shard=T,
+    )
+
+
+def _split_matvec(vals_loc, cols_loc, vals_rem, cols_rem, tv, tr, tc, p_l):
+    """Per-shard SpMV: communication-free local block first, then the remote
+    block + tail over the gathered vector.  The all_gather's only consumer is
+    the second term, so XLA overlaps it with the local SpMV."""
+    from ..ops import spmv
+
+    S = p_l.shape[0]
+    p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
+    y_l = spmv.ell_matvec(vals_loc, cols_loc, p_l)
+    y_l = y_l + spmv.ell_matvec(vals_rem, cols_rem, p_full)
+    y_l = y_l + spmv.coo_matvec(tv, tr, tc, p_full, S)
+    return y_l
+
+
 # ------------------------------------------------------------------ explicit
 
 def _explicit_cg_factory(mesh: Mesh):
-    """shard_map CG: sharded residual/direction, one all_gather per iteration."""
+    """shard_map CG with FULLY row-sharded state: x, r, z, p all live as
+    per-shard blocks (O(n/D) persistent memory per chip); the gathered search
+    direction exists only transiently inside the matvec, overlapped with the
+    communication-free local-block SpMV.  Dot products psum over shards."""
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(None, ROWS), P(None, ROWS), P(ROWS),  # values, cols, inv_diag
-            P(ROWS), P(),                            # b_local, x0_full
+            P(None, ROWS), P(None, ROWS),            # local ELL block
+            P(None, ROWS), P(None, ROWS),            # remote ELL block
+            P(ROWS), P(ROWS), P(ROWS),               # tail vals/rows/cols
+            P(ROWS), P(ROWS), P(ROWS),               # inv_diag, b_l, x0_l
             P(), P(),                                # threshold, max_iters
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(ROWS), P(), P()),
         check_vma=False,
     )
-    def cg_shard(vals_l, cols_l, invd_l, b_l, x0_full, threshold, max_iters):
-        from ..ops import spmv
-
-        shard = b_l.shape[0]
-        idx = jax.lax.axis_index(ROWS) * shard
-
-        def local(v_full):
-            return jax.lax.dynamic_slice(v_full, (idx,), (shard,))
+    def cg_shard(vl, cl, vr, cr, tv, tr, tc, invd_l, b_l, x0_l,
+                 threshold, max_iters):
+        def matvec(p_l):
+            return _split_matvec(vl, cl, vr, cr, tv, tr, tc, p_l)
 
         def pdot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), ROWS)
 
-        # r_local = b_local - (A x0)_local ; matvec over the replicated x
-        r_l = b_l - spmv.ell_matvec(vals_l, cols_l, x0_full)
+        r_l = b_l - matvec(x0_l)
         z_l = invd_l * r_l
-        p_full = jax.lax.all_gather(z_l, ROWS, tiled=True)
+        p_l = z_l
         rz0 = pdot(r_l, z_l)
         res0 = jnp.sqrt(pdot(r_l, r_l))
 
         def cond(carry):
-            x, r_l, p_full, rz, k, res = carry
+            x_l, r_l, p_l, rz, k, res = carry
             return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
 
         def body(carry):
-            x, r_l, p_full, rz, k, _ = carry
-            Ap_l = spmv.ell_matvec(vals_l, cols_l, p_full)   # local rows, ICI-free
-            pAp = pdot(local(p_full), Ap_l)
+            x_l, r_l, p_l, rz, k, _ = carry
+            Ap_l = matvec(p_l)
+            pAp = pdot(p_l, Ap_l)
             alpha = rz / jnp.maximum(pAp, 1e-30)
-            x = x + alpha * p_full                            # replicated update
+            x_l = x_l + alpha * p_l
             r_l = r_l - alpha * Ap_l
             z_l = invd_l * r_l
             rz_new = pdot(r_l, z_l)
             beta = rz_new / jnp.maximum(rz, 1e-30)
-            p_l = z_l + beta * local(p_full)
-            p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)  # halo exchange
+            p_l = z_l + beta * p_l
             res = jnp.sqrt(pdot(r_l, r_l))
-            return x, r_l, p_full, rz_new, k + 1, res
+            return x_l, r_l, p_l, rz_new, k + 1, res
 
-        carry0 = (x0_full, r_l, p_full, rz0, jnp.int32(0), res0)
-        x, r_l, p_full, rz, k, res = jax.lax.while_loop(cond, body, carry0)
-        return x, k, res
+        carry0 = (x0_l, r_l, p_l, rz0, jnp.int32(0), res0)
+        x_l, r_l, p_l, rz, k, res = jax.lax.while_loop(cond, body, carry0)
+        return x_l, k, res
 
     return jax.jit(cg_shard)
 
@@ -151,30 +292,40 @@ def solve_cg_sharded(
     """Distributed (preconditioned) CG over a row-partitioned operator."""
     options = options or SolverOptions()
     mesh = mesh or mesh_mod.make_mesh()
-    op = shard_operator(matrix, mesh, options.dtype)
     n = matrix.shape[0]
-    b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
-    b_local = jax.device_put(b_full, NamedSharding(mesh, P(ROWS)))
-    x0_np = np.zeros(op.n_pad) if options.x0 is None else np.pad(
-        np.asarray(options.x0, dtype=np.float64), (0, op.n_pad - n)
-    )
-    x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), NamedSharding(mesh, P()))
     threshold = base.threshold_for(b, options)
 
     if mode == "auto":
         from ..solvers.cg import _cg_run
 
+        op = shard_operator(matrix, mesh, options.dtype)
+        b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
+        b_local = jax.device_put(b_full, NamedSharding(mesh, P(ROWS)))
+        x0_np = np.zeros(op.n_pad) if options.x0 is None else np.pad(
+            np.asarray(options.x0, dtype=np.float64), (0, op.n_pad - n)
+        )
+        x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), NamedSharding(mesh, P()))
         with base.SolveTimer() as t:
             x, k, res, _ = _cg_run(op, b_local, x0, threshold, jnp.int32(options.max_iterations), True)
             jax.block_until_ready(x)
     else:
+        op = shard_operator_split(matrix, mesh, options.dtype)
+        vec_sh = NamedSharding(mesh, P(ROWS))
+        b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
+        b_local = jax.device_put(b_full, vec_sh)
+        x0_np = np.zeros(op.n_pad) if options.x0 is None else np.pad(
+            np.asarray(options.x0, dtype=np.float64), (0, op.n_pad - n)
+        )
+        x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh)
         key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "cg")
         fn = _EXPLICIT_CACHE.get(key)
         if fn is None:
             fn = _EXPLICIT_CACHE.put(key, _explicit_cg_factory(mesh))
         with base.SolveTimer() as t:
             x, k, res = fn(
-                op.values, op.cols, op.inv_diag, b_local, x0,
+                op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+                op.tail_vals, op.tail_rows, op.tail_cols,
+                op.inv_diag, b_local, x0,
                 jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
             )
             jax.block_until_ready(x)
@@ -183,41 +334,46 @@ def solve_cg_sharded(
         matrix, x, k, res, f"cg-sharded-{mode}", options, t.ms,
         matvec_count=int(jax.device_get(k)) + 1,
     )
+    if mode != "auto":
+        result.distribution = {
+            "shards": op.shards,
+            "bytes_per_shard": op.bytes_per_shard(),
+            "comm_bytes_per_iter": op.comm_bytes_per_gather(),
+        }
     return base.check_outcome(result, threshold, options, raise_on_fail)
 
 
 def _explicit_neumann_factory(mesh: Mesh):
-    """shard_map Neumann series: the term vector stays row-sharded; one
-    all_gather re-replicates it before each local SpMV (the halo exchange),
-    and the residual check psum-reduces partial norms — the overlapped
-    halo-exchange schedule of SURVEY.md §5.7 for the series iteration."""
+    """shard_map Neumann series with row-sharded x/term state; the gathered
+    term vector exists only transiently inside the split matvec (overlapped
+    with the local-block SpMV), and the residual check psum-reduces partial
+    norms — the overlapped halo-exchange schedule of SURVEY.md §5.7."""
 
     @functools.partial(
         shard_map,
         mesh=mesh,
         in_specs=(
-            P(None, ROWS), P(None, ROWS), P(ROWS), P(ROWS),  # values, cols, diag, inv_diag
-            P(ROWS), P(),                                     # b_local, x0_full
-            P(), P(), P(),                                    # threshold, max_iters, check_every
+            P(None, ROWS), P(None, ROWS),            # local ELL block
+            P(None, ROWS), P(None, ROWS),            # remote ELL block
+            P(ROWS), P(ROWS), P(ROWS),               # tail vals/rows/cols
+            P(ROWS), P(ROWS),                        # diag, inv_diag
+            P(ROWS), P(ROWS),                        # b_local, x0_local
+            P(), P(), P(),                           # threshold, max_iters, check_every
         ),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(ROWS), P(), P()),
         check_vma=False,
     )
-    def neumann_shard(vals_l, cols_l, diag_l, invd_l, b_l, x0_full, threshold, max_iters, check_every):
-        from ..ops import spmv
-
-        shard = b_l.shape[0]
-        idx = jax.lax.axis_index(ROWS) * shard
-
-        def local(v_full):
-            return jax.lax.dynamic_slice(v_full, (idx,), (shard,))
+    def neumann_shard(vl, cl, vr, cr, tv, tr, tc, diag_l, invd_l, b_l, x0_l,
+                      threshold, max_iters, check_every):
+        def matvec(v_l):
+            return _split_matvec(vl, cl, vr, cr, tv, tr, tc, v_l)
 
         def pnorm(v_l):
             return jnp.sqrt(jax.lax.psum(jnp.vdot(v_l, v_l), ROWS))
 
-        r0_l = b_l - spmv.ell_matvec(vals_l, cols_l, x0_full)
+        r0_l = b_l - matvec(x0_l)
         term0_l = invd_l * r0_l
-        x_l = local(x0_full) + term0_l
+        x_l = x0_l + term0_l
 
         def cond(carry):
             x_l, term_l, k, res = carry
@@ -228,22 +384,19 @@ def _explicit_neumann_factory(mesh: Mesh):
 
             def inner(i, st):
                 x_l, term_l = st
-                term_full = jax.lax.all_gather(term_l, ROWS, tiled=True)  # halo
-                at_l = spmv.ell_matvec(vals_l, cols_l, term_full) - diag_l * local(term_full)
+                at_l = matvec(term_l) - diag_l * term_l
                 term_l = -invd_l * at_l
                 return x_l + term_l, term_l
 
             x_l, term_l = jax.lax.fori_loop(0, check_every, inner, (x_l, term_l))
-            x_full = jax.lax.all_gather(x_l, ROWS, tiled=True)
-            res = pnorm(spmv.ell_matvec(vals_l, cols_l, x_full) - b_l)
+            res = pnorm(matvec(x_l) - b_l)
             return x_l, term_l, k + check_every, res
 
-        x_full0 = jax.lax.all_gather(x_l, ROWS, tiled=True)
-        res0 = pnorm(spmv.ell_matvec(vals_l, cols_l, x_full0) - b_l)
+        res0 = pnorm(matvec(x_l) - b_l)
         x_l, term_l, k, res = jax.lax.while_loop(
             cond, body, (x_l, term0_l, jnp.int32(0), res0)
         )
-        return jax.lax.all_gather(x_l, ROWS, tiled=True), k, res
+        return x_l, k, res
 
     return jax.jit(neumann_shard)
 
@@ -258,14 +411,15 @@ def solve_neumann_sharded(
     """Distributed Neumann series over a row-partitioned operator."""
     options = options or SolverOptions()
     mesh = mesh or mesh_mod.make_mesh()
-    op = shard_operator(matrix, mesh, options.dtype)
+    op = shard_operator_split(matrix, mesh, options.dtype)
     n = matrix.shape[0]
+    vec_sh = NamedSharding(mesh, P(ROWS))
     b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
-    b_local = jax.device_put(b_full, NamedSharding(mesh, P(ROWS)))
+    b_local = jax.device_put(b_full, vec_sh)
     x0_np = np.zeros(op.n_pad) if options.x0 is None else np.pad(
         np.asarray(options.x0, dtype=np.float64), (0, op.n_pad - n)
     )
-    x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), NamedSharding(mesh, P()))
+    x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh)
     threshold = base.threshold_for(b, options)
 
     key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "neumann")
@@ -274,7 +428,9 @@ def solve_neumann_sharded(
         fn = _EXPLICIT_CACHE.put(key, _explicit_neumann_factory(mesh))
     with base.SolveTimer() as t:
         x, k, res = fn(
-            op.values, op.cols, op.diag, op.inv_diag, b_local, x0,
+            op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+            op.tail_vals, op.tail_rows, op.tail_cols,
+            op.diag, op.inv_diag, b_local, x0,
             jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
             jnp.int32(options.check_every),
         )
@@ -283,6 +439,11 @@ def solve_neumann_sharded(
         matrix, x, k, res, "neumann-sharded", options, t.ms,
         matvec_count=int(jax.device_get(k)),
     )
+    result.distribution = {
+        "shards": op.shards,
+        "bytes_per_shard": op.bytes_per_shard(),
+        "comm_bytes_per_iter": op.comm_bytes_per_gather(),
+    }
     return base.check_outcome(result, threshold, options, raise_on_fail)
 
 

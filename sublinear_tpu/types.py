@@ -193,6 +193,8 @@ class SolverResult:
     stats: Optional[SolverStats] = None
     phases: Optional[list] = None  # hybrid per-phase metrics (hybrid.rs:75-127)
     error_bounds: Optional[ErrorBounds] = None
+    # sharded solves: {shards, bytes_per_shard, comm_bytes_per_iter, ...}
+    distribution: Optional[dict] = None
 
     def to_dict(self) -> dict:
         d = {
@@ -208,6 +210,8 @@ class SolverResult:
             d["stats"] = dataclasses.asdict(self.stats)
         if self.error_bounds is not None:
             d["errorBounds"] = self.error_bounds.to_dict()
+        if self.distribution is not None:
+            d["distribution"] = dict(self.distribution)
         return d
 
 
