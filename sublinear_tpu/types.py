@@ -92,7 +92,7 @@ class SolverOptions:
     # random-walk specific (reference: random_walk.rs:9-29)
     num_walks: Optional[int] = None  # default max(100, 1/eps^2) capped
     max_walk_length: int = 1000
-    variance_reduction: str = "antithetic"  # none|antithetic
+    variance_reduction: str = "antithetic"  # none|antithetic|control-variates
     # sampling strategy (reference: sampling.rs:9-120 AdaptiveSampler)
     sampling: str = "importance"  # importance|uniform|stratified|qmc|adaptive
     # initial guess / warm restart (reference: solver/mod.rs:36, neumann.rs:436)

@@ -241,3 +241,74 @@ def test_hybrid_runs_above_4096():
     b = slt.rhs(n, seed=3)
     r = slt.solve(A, b, slt.SolverOptions(method="hybrid", epsilon=1e-5))
     assert r.converged
+
+
+# ---------------------------------------------------------------- round 3:
+# control variates + E007 walker-memory guards (VERDICT r2 items 7 & 8)
+
+def test_control_variates_reduces_variance():
+    """control-variates = exact Neumann head + MC tail: same expectation,
+    tail-only variance (reference VarianceReduction::ControlVariates,
+    random_walk.rs:31-39)."""
+    from sublinear_tpu.solvers.random_walk import walk_estimate
+
+    A, b, x_ref = _strong_dd(seed=13)
+    nodes = list(range(16))
+    plain = slt.SolverOptions(num_walks=800, seed=21, variance_reduction="none")
+    _, var_plain, _ = walk_estimate(A, b, nodes, plain)
+    cv = slt.SolverOptions(num_walks=800, seed=21, variance_reduction="control-variates")
+    est, var_cv, _ = walk_estimate(A, b, nodes, cv)
+    np.testing.assert_allclose(est, x_ref[nodes], atol=0.05)
+    # the deterministic head removes most of the sampling noise
+    assert var_cv.mean() < var_plain.mean() * 0.5, (var_cv.mean(), var_plain.mean())
+
+
+def test_walker_chunking_matches_oracle(monkeypatch):
+    """A tiny SLT_MEMORY_LIMIT_BYTES forces run_walks to split the walker
+    batch into many chunks; estimates stay unbiased across chunk seams."""
+    from sublinear_tpu.solvers.random_walk import max_walkers_for_memory, walk_estimate
+
+    monkeypatch.setenv("SLT_MEMORY_LIMIT_BYTES", str(2_000_000))
+    A, b, x_ref = _strong_dd(seed=14)
+    K = int(A.csr.row_nnz().max())
+    cap = max_walkers_for_memory(K)
+    nodes = list(range(24))
+    W = 2000
+    assert len(nodes) * W > cap, "test must actually exercise the chunked path"
+    est, var, _ = walk_estimate(
+        A, b, nodes, slt.SolverOptions(num_walks=W, seed=5))
+    np.testing.assert_allclose(est, x_ref[nodes], atol=0.08)
+    assert np.all(np.isfinite(var))
+
+
+def test_sampling_tables_raise_e007_over_budget(monkeypatch):
+    """Table builds route through the same device-bytes budget as operator
+    builds instead of silently OOMing."""
+    from sublinear_tpu.errors import MemoryLimitError
+    from sublinear_tpu.solvers.random_walk import sampling_tables
+
+    A, _, _ = _strong_dd(n=200, seed=15)
+    monkeypatch.setenv("SLT_MEMORY_LIMIT_BYTES", "1000")
+    with pytest.raises(MemoryLimitError) as ei:
+        sampling_tables(A)
+    assert ei.value.code == "E007"
+
+
+def test_hybrid_100k_under_memory_limit(monkeypatch):
+    """n=100k hybrid (phase 2 spawns n x 64 = 6.4M walkers) completes under a
+    48 MB device budget: the walker batch is chunked through E007 sizing
+    instead of materializing (W, K) gathers for all walkers at once."""
+    monkeypatch.setenv("SLT_MEMORY_LIMIT_BYTES", str(48 * 1024 * 1024))
+    n = 100_000
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5))
+    b = slt.rhs(n, seed=3)
+    # small iteration budget: push exits on budget with a big residual so the
+    # walker phase genuinely runs at full n
+    from sublinear_tpu.solvers.hybrid import solve_hybrid
+
+    opts = slt.SolverOptions(epsilon=1e-6, max_iterations=20, max_walk_length=64)
+    r = solve_hybrid(A, b, opts, raise_on_fail=False)
+    assert np.all(np.isfinite(r.solution))
+    phases = {p["phase"] for p in r.phases}
+    assert "random-walk" in phases, r.phases
+    assert r.residual < float(np.linalg.norm(b))
