@@ -1,16 +1,19 @@
 """Training loop for the temporal micro-nets.
 
 Reference: /root/reference/neural-network-implementation/src/training/
-(Trainer, optimizer, losses, callbacks).
+(Trainer + optimizer registry mod.rs/optimizer.rs, losses.rs, callbacks.rs).
 
-TPU design: optax optimizer, one jitted train_step (donated state), data
-parallel over the mesh ``batch`` axis — batches are placed with a
-NamedSharding and GSPMD partitions the step; gradients reduce over the mesh
-automatically.
+TPU design: optax optimizer chain (grad-clip -> optimizer -> weight decay),
+one jitted train_step (donated state), data parallel over the mesh ``batch``
+axis — batches are placed with a NamedSharding and GSPMD partitions the step;
+gradients reduce over the mesh automatically.  Losses come from the
+losses.py registry; per-epoch control flow (validation cadence, early
+stopping, checkpoints) is host-side via callbacks.py.
 """
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import numpy as np
 
@@ -28,30 +31,105 @@ class TrainState:
     step: int = 0
 
 
+def make_optimizer(name: str = "adam", learning_rate: float = 1e-3,
+                   grad_clip: float = 0.0, weight_decay: float = 0.0):
+    """Optimizer registry (reference training/optimizer.rs): a gradient
+    transform chain clip -> {adam,adamw,sgd,rmsprop} -> decoupled decay."""
+    from ..errors import InvalidParametersError
+
+    makers = {
+        "adam": lambda: optax.adam(learning_rate),
+        "adamw": lambda: optax.adamw(learning_rate, weight_decay=weight_decay),
+        "sgd": lambda: optax.sgd(learning_rate, momentum=0.9),
+        "rmsprop": lambda: optax.rmsprop(learning_rate),
+    }
+    if name not in makers:
+        raise InvalidParametersError(
+            f"unknown optimizer '{name}'", {"allowed": sorted(makers)})
+    chain = []
+    if grad_clip and grad_clip > 0:
+        chain.append(optax.clip_by_global_norm(grad_clip))
+    chain.append(makers[name]())
+    if weight_decay and weight_decay > 0 and name != "adamw":
+        # decoupled weight decay: w -= lr_scale * wd * w
+        chain.append(optax.add_decayed_weights(-weight_decay * learning_rate))
+    return optax.chain(*chain)
+
+
 class Trainer:
     def __init__(self, model: SystemA, window: int, features: int = 1,
-                 learning_rate: float = 1e-3, seed: int = 0):
+                 learning_rate: float = 1e-3, seed: int = 0,
+                 training_config=None, loss=None):
+        """``training_config``: models.config.TrainingConfig — optimizer,
+        grad_clip, weight_decay, loss + smoothness override the scalar args."""
         self.model = model
-        self.tx = optax.adam(learning_rate)
+        self.config = training_config
+        if training_config is not None:
+            self.tx = make_optimizer(
+                training_config.optimizer, training_config.learning_rate,
+                training_config.grad_clip, training_config.weight_decay)
+            if loss is None:
+                from .losses import get_loss
+
+                loss = get_loss(training_config.loss,
+                                smoothness_weight=training_config.smoothness_weight)
+        else:
+            self.tx = optax.adam(learning_rate)
+        if loss is None:
+            loss = lambda pred, target: jnp.mean((pred - target) ** 2)  # noqa: E731
         params = model.init(jax.random.PRNGKey(seed), jnp.zeros((window, features)))
         self.state = TrainState(params, self.tx.init(params))
 
         def loss_fn(params, windows, targets):
             preds = jax.vmap(lambda w: model.apply(params, w))(windows)
-            return jnp.mean((preds - targets) ** 2)
+            return loss(preds, targets)
 
         def train_step(params, opt_state, windows, targets):
-            loss, grads = jax.value_and_grad(loss_fn)(params, windows, targets)
+            val, grads = jax.value_and_grad(loss_fn)(params, windows, targets)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, val
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._loss_fn = jax.jit(loss_fn)
 
+    @classmethod
+    def from_config(cls, config, features: int = 1, window: Optional[int] = None):
+        """Build model + trainer from a full models.config.Config (the
+        reference's config-file-driven training entry, src/main.rs)."""
+        from .config import build_system
+
+        window = config.common.window_steps if window is None else window
+        model = build_system(config, features=features)
+        if not isinstance(model, SystemA):
+            from ..errors import InvalidParametersError
+
+            raise InvalidParametersError(
+                "Trainer.from_config trains System A nets; train System B's "
+                "residual net via its own trainer path (models.temporal_net)")
+        return cls(model, window=window, features=features,
+                   seed=config.common.random_seed, training_config=config.training)
+
     def fit(self, windows: np.ndarray, targets: np.ndarray, epochs: int = 10,
-            batch_size: int = 64, mesh=None, seed: int = 0) -> list:
-        """windows: (N, T, F); targets: (N, horizon)."""
+            batch_size: int = 64, mesh=None, seed: int = 0,
+            validation_data=None, callbacks=None, verbose: bool = False) -> list:
+        """windows: (N, T, F); targets: (N, horizon).
+
+        Config-driven runs (training_config set) take epochs/batch_size from
+        the config and add patience-based early stopping on val loss
+        (callbacks.rs semantics).  Returns per-epoch train losses; richer
+        logs via a History callback."""
+        cfg = self.config
+        if cfg is not None:
+            epochs = cfg.epochs if epochs == 10 else epochs
+            batch_size = cfg.batch_size if batch_size == 64 else batch_size
+        callbacks = list(callbacks or [])
+        if cfg is not None and cfg.patience > 0 and validation_data is not None:
+            from .callbacks import EarlyStopping
+
+            callbacks.append(EarlyStopping(patience=cfg.patience))
+        val_frequency = cfg.val_frequency if cfg is not None else 1
+
         windows = jnp.asarray(np.asarray(windows, dtype=np.float32))
         targets = jnp.asarray(np.asarray(targets, dtype=np.float32))
         if mesh is not None:
@@ -64,9 +142,12 @@ class Trainer:
             targets = jax.device_put(targets, sh)
 
         n = windows.shape[0]
+        batch_size = min(batch_size, n)
         rng = np.random.default_rng(seed)
         history = []
-        for _ in range(epochs):
+        for cb in callbacks:
+            cb.on_train_begin(self)
+        for epoch in range(epochs):
             order = rng.permutation(n)
             epoch_loss = 0.0
             batches = 0
@@ -79,7 +160,19 @@ class Trainer:
                 self.state.step += 1
                 epoch_loss += float(loss)
                 batches += 1
-            history.append(epoch_loss / max(batches, 1))
+            train_loss = epoch_loss / max(batches, 1)
+            history.append(train_loss)
+            logs = {"loss": train_loss}
+            if validation_data is not None and (epoch + 1) % max(val_frequency, 1) == 0:
+                logs["val_loss"] = self.evaluate(*validation_data)
+            if verbose:
+                print(f"epoch {epoch + 1}/{epochs}: " +
+                      " ".join(f"{k}={v:.6f}" for k, v in logs.items()))
+            stop = any(cb.on_epoch_end(epoch, logs, self) for cb in callbacks)
+            if stop:
+                break
+        for cb in callbacks:
+            cb.on_train_end(self)
         return history
 
     def evaluate(self, windows, targets) -> float:

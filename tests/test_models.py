@@ -142,3 +142,176 @@ def test_quantize_rejects_bad_scheme_and_empty():
         quantize_tree({"w": np.ones((4, 4), np.float32)}, scheme="int2")
     with pytest.raises(InvalidParametersError):
         quantize_tree({}, scheme="int8")
+
+
+# -------------------------------------------------------------- round 3:
+# config system / losses / callbacks / inference latency (VERDICT r2 item 6)
+
+def test_config_yaml_roundtrip_and_validation(tmp_path):
+    from sublinear_tpu.errors import InvalidParametersError
+    from sublinear_tpu.models import Config
+
+    cfg = Config.load("configs/B_temporal_solver.yaml")
+    assert cfg.system.type == "TemporalSolver"
+    assert cfg.system.solver_gate.algorithm == "neumann"
+    assert cfg.common.window_steps == 256  # 128 ms @ 2000 Hz
+    assert cfg.model.arch == "gru"
+
+    p = tmp_path / "roundtrip.yaml"
+    cfg.save(str(p))
+    cfg2 = Config.load(str(p))
+    assert cfg2.to_dict() == cfg.to_dict()
+
+    # JSON path + unknown-key / bad-value validation (E008)
+    j = tmp_path / "c.json"
+    j.write_text('{"model": {"hidden_size": 8}}')
+    assert Config.load(str(j)).model.hidden_size == 8
+    with pytest.raises(InvalidParametersError):
+        Config.from_dict({"model": {"not_a_field": 1}})
+    with pytest.raises(InvalidParametersError):
+        Config.from_dict({"training": {"optimizer": "adagrad9000"}})
+    with pytest.raises(InvalidParametersError):
+        Config.from_dict({"system": {"type": "TemporalSolver"}})  # gate required
+
+
+def test_build_system_from_config():
+    from sublinear_tpu.models import Config, SystemA, SystemB, build_system
+
+    a = build_system(Config.load("configs/A_traditional.yaml"))
+    assert isinstance(a, SystemA) and a.hidden == 32
+    cfg_b = Config.load("configs/B_temporal_solver.yaml")
+    b = build_system(cfg_b)
+    assert isinstance(b, SystemB)
+    # residual net is sized for the configured window geometry
+    out = b.predict(np.zeros((cfg_b.common.window_steps, 1), np.float32))
+    assert out.shape == (1,) and np.isfinite(out).all()
+
+
+def test_losses_registry_and_smoothness():
+    from sublinear_tpu.models import get_loss
+
+    p = jnp.asarray([[1.0, 2.0]])
+    t = jnp.asarray([[1.5, 1.5]])
+    assert float(get_loss("mse")(p, t)) == pytest.approx(0.25)
+    assert float(get_loss("mae")(p, t)) == pytest.approx(0.5)
+    # huber == mse/2 inside delta
+    assert float(get_loss("huber")(p, t)) == pytest.approx(0.125)
+    # smoothness adds a magnitude penalty even at zero error
+    base = get_loss("mse")(p, p)
+    pen = get_loss("mse", smoothness_weight=0.1)(p, p)
+    assert float(pen) > float(base)
+    from sublinear_tpu.errors import InvalidParametersError
+    with pytest.raises(InvalidParametersError):
+        get_loss("nope")
+
+
+def test_trainer_config_driven_with_callbacks(tmp_path):
+    from sublinear_tpu.models import (
+        Config, EarlyStopping, History, ModelCheckpoint, Trainer,
+    )
+
+    cfg = Config.from_dict({
+        "common": {"window_ms": 8, "sample_rate_hz": 1000, "features": ["x"]},
+        "training": {"epochs": 30, "batch_size": 32, "patience": 2,
+                     "grad_clip": 1.0, "weight_decay": 1e-4,
+                     "optimizer": "adamw", "loss": "mse",
+                     "checkpoint_frequency": 2},
+    })
+    series = np.sin(np.arange(400, dtype=np.float32) / 9.0)
+    windows, targets = make_windows(series, window=cfg.common.window_steps, horizon=1)
+    trainer = Trainer.from_config(cfg)
+    hist_cb = History()
+    ckpt = ModelCheckpoint(str(tmp_path), frequency=cfg.training.checkpoint_frequency)
+    es = EarlyStopping(patience=cfg.training.patience, min_delta=0.0)
+    history = trainer.fit(
+        windows[:256], targets[:256],
+        validation_data=(windows[256:320], targets[256:320]),
+        callbacks=[hist_cb, ckpt, es],
+    )
+    # trained at all, logged val losses, early stopping bounded the run
+    assert len(history) <= 30 and history[-1] < history[0]
+    assert any("val_loss" in e for e in hist_cb.epochs)
+    assert ckpt.best_path is not None
+    # checkpoint loads back
+    trainer.load(ckpt.best_path)
+
+
+def test_optimizer_registry():
+    from sublinear_tpu.errors import InvalidParametersError
+    from sublinear_tpu.models import make_optimizer
+
+    for name in ("adam", "adamw", "sgd", "rmsprop"):
+        tx = make_optimizer(name, 1e-3, grad_clip=1.0, weight_decay=1e-4)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        updates, _ = tx.update({"w": jnp.ones(3)}, state, params)
+        assert np.isfinite(np.asarray(updates["w"])).all()
+    with pytest.raises(InvalidParametersError):
+        make_optimizer("lion9000", 1e-3)
+
+
+def test_predictor_system_a_latency_harness():
+    from sublinear_tpu.models import InferenceConfig, Predictor, latency_report
+
+    model = SystemA(hidden=8, arch="gru", horizon=1)
+    trainer = Trainer(model, window=8, features=1)
+    pred = Predictor.new_system_a(model, trainer.state.params,
+                                  InferenceConfig(target_latency_ms=1000.0))
+    rep = latency_report(pred, (8, 1), ticks=30, warmup=3)
+    assert rep["ticks"] == 30 and rep["total"]["p999"] > 0
+    assert set(rep["budget_ms"]) >= {"ingest", "network", "gate", "total_p999"}
+    # CPU test: generous budget so meets_targets exercises the true path
+    assert rep["meets_targets"] is True
+    # stage timings recorded for every tick
+    assert pred.stats.count == 30
+
+
+def test_predictor_system_b_stages_and_gate():
+    from sublinear_tpu.models import InferenceConfig, Predictor, SystemB
+
+    sysb = SystemB.create(window=8, features=1, hidden=8, horizon=1, seed=1)
+    pred = Predictor.new_system_b(sysb, InferenceConfig(target_latency_ms=1000.0))
+    pred.warmup((8, 1), 2)
+    out = pred.predict(np.linspace(0, 1, 8, dtype=np.float32)[:, None])
+    assert out.value.shape == (1,) and np.isfinite(out.value).all()
+    # System B exercises prior + gate stages
+    assert out.timing.prior_ms > 0 and out.timing.gate_ms > 0
+    # predictor output agrees with the composite's own predict path
+    ref = sysb.predict(np.linspace(0, 1, 8, dtype=np.float32)[:, None])
+    np.testing.assert_allclose(out.value, ref, atol=1e-5)
+
+
+def test_streaming_tick_matches_full_window():
+    """The O(1) carried-state tick path computes exactly the full-window
+    GRU forward on the shifted window."""
+    from sublinear_tpu.models import Predictor
+
+    model = SystemA(hidden=8, arch="gru", horizon=1)
+    trainer = Trainer(model, window=8, features=1)
+    pred = Predictor.new_system_a(model, trainer.state.params)
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((8, 1)).astype(np.float32)
+    pred.init_stream(w)
+    xs = rng.standard_normal((5, 1)).astype(np.float32)
+    hist = list(w)
+    for x in xs:
+        out_tick = pred.predict_tick(x)
+        hist = hist[1:] + [x]  # full-window oracle on the shifted window... 
+        # streaming GRU state corresponds to the FULL history, not a sliding
+        # window — oracle: scan over w ++ xs_so_far
+    full_hist = np.concatenate([w, xs], axis=0)
+    full = np.asarray(model.apply(trainer.state.params, jnp.asarray(full_hist)))
+    np.testing.assert_allclose(out_tick, full, rtol=1e-5, atol=1e-6)
+    assert len(pred.tick_ms) == 5
+
+
+def test_system_b_streaming_tick_runs_and_gates():
+    from sublinear_tpu.models import InferenceConfig, Predictor, SystemB
+
+    sysb = SystemB.create(window=8, features=1, hidden=8, horizon=1, seed=2)
+    pred = Predictor.new_system_b(sysb, InferenceConfig(target_latency_ms=1000.0))
+    rng = np.random.default_rng(1)
+    pred.init_stream(rng.standard_normal((8, 1)).astype(np.float32))
+    outs = [pred.predict_tick(rng.standard_normal(1).astype(np.float32)) for _ in range(10)]
+    assert all(np.isfinite(o).all() and o.shape == (1,) for o in outs)
+    assert pred.tick_percentiles()["p50"] > 0
