@@ -224,6 +224,8 @@ class Handler(BaseHTTPRequestHandler):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         if parts == ["ws"]:
             return self._websocket()
+        if parts == ["ws", "swarm"]:
+            return self._swarm_websocket()
         if parts == ["health"]:
             import jax
 
@@ -285,6 +287,15 @@ class Handler(BaseHTTPRequestHandler):
                 return self._json(200, {"ok": True})
             if parts == ["api", "v1", "swarm", "solve"]:
                 return self._json(200, SWARM.submit(payload))
+            if parts == ["api", "v1", "swarm", "verify"]:
+                resp = SWARM.request_verification(
+                    payload["nodeId"], payload["sessionId"],
+                    int(payload.get("probeCount", 10)),
+                    timeout=float(payload.get("timeout", 10.0)),
+                    tolerance=float(payload.get("tolerance", 1e-6)))
+                if resp is None:
+                    return self._json(504, {"error": "verification timed out"})
+                return self._json(200, resp)
             return self._json(404, {"error": f"unknown path {self.path}"})
         except Exception as e:
             from ..errors import SolverError
@@ -369,6 +380,51 @@ class Handler(BaseHTTPRequestHandler):
                     ).start()
             else:
                 ws.send_json({"type": "error", "error": f"Unknown message type: {mtype}"})
+
+    def _swarm_websocket(self):
+        """Swarm WS channel: register -> registered, then the flow-nexus
+        message protocol {heartbeat, cost_update (re-broadcast to peers),
+        verification_request/response, consensus_vote}
+        (/root/reference/integrations/flow-nexus.js:127-405)."""
+        from .websocket import WebSocketConnection, perform_handshake
+
+        if not perform_handshake(self):
+            return
+        ws = WebSocketConnection(self.rfile, self.wfile)
+        node_id = None
+        try:
+            msg = ws.read_message()
+            if msg is None:
+                return
+            try:
+                message = json.loads(msg[1].decode())
+            except (UnicodeDecodeError, json.JSONDecodeError) as e:
+                ws.send_json({"type": "error", "error": str(e)})
+                return
+            if message.get("type") != "register":
+                ws.send_json({"type": "error",
+                              "error": "first swarm message must be 'register'"})
+                return
+            w = SWARM.register(None, message.get("capabilities"),
+                               node_id=message.get("node_id"))
+            node_id = w.id
+            SWARM.attach_ws(node_id, ws)
+            ws.send_json({"type": "registered", "node_id": node_id,
+                          "swarm_id": SWARM.swarm_id})
+            while ws.open:
+                msg = ws.read_message()
+                if msg is None:
+                    break
+                try:
+                    message = json.loads(msg[1].decode())
+                except (UnicodeDecodeError, json.JSONDecodeError):
+                    continue
+                reply = SWARM.handle_ws_message(node_id, message, ws)
+                if reply is not None:
+                    ws.send_json(reply)
+        finally:
+            if node_id is not None:
+                SWARM.detach_ws(node_id)
 
     @staticmethod
     def _find_session_job(session_id):

@@ -130,6 +130,58 @@ TOOLS = [
             "required": ["laplacian", "source", "target"],
         },
     },
+    # Flow-Nexus swarm tools (reference integrations/flow-nexus.js:500-619)
+    {
+        "name": "sublinear_solver_stream",
+        "description": "Stream-based solve: returns per-chunk convergence updates plus a session id usable with solver_verification",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "matrix": _MATRIX_SCHEMA,
+                "vector": {"type": "array", "items": {"type": "number"}},
+                "method": {
+                    "type": "string",
+                    "enum": ["jacobi", "gauss-seidel", "conjugate-gradient", "hybrid", "adaptive"],
+                    "default": "adaptive",
+                },
+                "epsilon": {"type": "number", "default": 1e-6},
+                "chunkIterations": {"type": "integer", "default": 10},
+            },
+            "required": ["matrix", "vector"],
+        },
+    },
+    {
+        "name": "solver_verification",
+        "description": "Verify a streamed session's solution accuracy with random probes",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "session_id": {"type": "string"},
+                "probe_count": {"type": "integer", "minimum": 1, "maximum": 100, "default": 10},
+                "tolerance": {"type": "number", "default": 1e-8},
+            },
+            "required": ["session_id"],
+        },
+    },
+    {
+        "name": "swarm_cost_propagation",
+        "description": "Propagate per-session cost deltas across the swarm network",
+        "inputSchema": {
+            "type": "object",
+            "properties": {
+                "session_id": {"type": "string"},
+                "delta_costs": {
+                    "type": "object",
+                    "properties": {
+                        "indices": {"type": "array", "items": {"type": "integer"}},
+                        "values": {"type": "array", "items": {"type": "number"}},
+                    },
+                },
+                "swarm_id": {"type": "string"},
+            },
+            "required": ["session_id", "delta_costs"],
+        },
+    },
     {
         "name": "predictWithTemporalAdvantage",
         "description": "Solve a system and compare compute time against light travel time",
@@ -185,6 +237,16 @@ class MCPServer:
     def __init__(self):
         self.name = "sublinear-tpu-solver"
         self.version = "0.1.0"
+        self._stream_sessions: dict = {}  # session_id -> (matrix, b, x)
+        self._swarm = None  # lazy SwarmCoordinator for cost propagation
+
+    @property
+    def swarm(self):
+        if self._swarm is None:
+            from .swarm import SwarmCoordinator
+
+            self._swarm = SwarmCoordinator()
+        return self._swarm
 
     # ------------------------------------------------------------- handlers
     def handle_solve(self, args: dict) -> dict:
@@ -271,6 +333,71 @@ class MCPServer:
             epsilon=float(args.get("epsilon", 1e-6)),
         )
 
+    # Flow-Nexus swarm tools (reference FlowNexusMCPTools, flow-nexus.js:500-619)
+    def handle_solver_stream(self, args: dict) -> dict:
+        import uuid
+
+        import sublinear_tpu as slt
+        from ..solvers.streaming import streaming_solve
+
+        matrix = slt.Matrix.from_dict(args["matrix"])
+        b = np.asarray(args["vector"], dtype=np.float64)
+        options = slt.SolverOptions(epsilon=float(args.get("epsilon", 1e-6)))
+        chunks = []
+        last = None
+        for chunk in streaming_solve(matrix, b, options,
+                                     method=args.get("method", "adaptive"),
+                                     chunk_iters=int(args.get("chunkIterations", 10)),
+                                     include_solution=True):
+            last = chunk
+            d = chunk.to_dict()
+            d.pop("solution", None)  # chunk updates carry convergence, not payload
+            chunks.append(d)
+        session_id = f"session-{uuid.uuid4()}"
+        if last is not None and last.solution is not None:
+            self._stream_sessions[session_id] = (matrix, b, np.asarray(last.solution))
+        return {
+            "session_id": session_id,
+            "status": "completed" if (last and last.converged) else "not_converged",
+            "updates": chunks,
+            "residual": float(last.residual) if last else None,
+            "iterations": int(last.iteration) if last else 0,
+        }
+
+    def handle_solver_verification(self, args: dict) -> dict:
+        sess = self._stream_sessions.get(args["session_id"])
+        if sess is None:
+            return {"session_id": args["session_id"], "verified": False,
+                    "error": "unknown session"}
+        matrix, b, x = sess
+        probes = int(args.get("probe_count", 10))
+        tol = float(args.get("tolerance", 1e-8))
+        rng = np.random.default_rng(0xF10)
+        rows = rng.choice(matrix.shape[0], size=min(probes, matrix.shape[0]),
+                          replace=False)
+        r = matrix.csr.matvec(x) - b
+        max_err = float(np.abs(r[rows]).max()) if rows.size else 0.0
+        scale = float(np.abs(b).max()) or 1.0
+        return {"session_id": args["session_id"], "verified": max_err <= tol * scale,
+                "max_error": max_err, "probe_count": int(rows.size)}
+
+    def handle_cost_propagation(self, args: dict) -> dict:
+        import time as _time
+
+        update = {
+            "type": "cost_update",
+            "session_id": args["session_id"],
+            "delta_costs": args["delta_costs"],
+            "swarm_id": args.get("swarm_id", self.swarm.swarm_id),
+            "timestamp": _time.time(),
+        }
+        self.swarm.cost_history.append(update)
+        self.swarm.broadcast(update)
+        with self.swarm.lock:
+            peers = len(self.swarm.connections)
+        return {"status": "propagated", "peers": peers,
+                "timestamp": update["timestamp"]}
+
     def handle_temporal(self, name: str, args: dict) -> dict:
         from ..queries import (
             calculate_light_travel,
@@ -312,6 +439,12 @@ class MCPServer:
             return self.handle_batch_solve(args)
         if name == "effectiveResistance":
             return self.handle_effective_resistance(args)
+        if name == "sublinear_solver_stream":
+            return self.handle_solver_stream(args)
+        if name == "solver_verification":
+            return self.handle_solver_verification(args)
+        if name == "swarm_cost_propagation":
+            return self.handle_cost_propagation(args)
         if name in (
             "predictWithTemporalAdvantage", "validateTemporalAdvantage",
             "calculateLightTravel", "demonstrateTemporalLead",

@@ -1,16 +1,28 @@
-"""Swarm coordination: multi-worker job distribution + cost-update aggregation.
+"""Swarm coordination: WS control plane + cost propagation + verification.
 
 Parity: the Flow-Nexus swarm client
-(/root/reference/integrations/flow-nexus.js:5-619 — registerSolver, joinSwarm,
-cost-update propagation/aggregation :188-343, heartbeat/exponential-backoff
-reconnect :344-405).  The reference talks to an external SaaS; here the swarm
-is self-hosted: a coordinator tracks solver workers, aggregates per-worker
-cost updates, and routes jobs to the cheapest worker.  Workers are HTTP
-solver servers (interfaces/http_server.py) or in-process callables.
+(/root/reference/integrations/flow-nexus.js:5-619 — registerSolver :30,
+joinSwarm + WS channel :88-160, swarm message handling :165-260
+{cost_update, verification_request, consensus_vote, heartbeat},
+cost-update queue + per-session aggregation :283-335, 30 s heartbeat loop
+:337-405, exponential-backoff reconnect :385-405, MCP tools :500-619).
 
-For a TPU deployment this is the *control plane*; the data plane (collective
-compute) is `parallel/` — SURVEY.md §2.7 maps Flow-Nexus cost propagation to
-multi-host collective updates.
+The reference talks to an external SaaS; here the swarm is self-hosted:
+
+* ``SwarmCoordinator`` — tracks workers, aggregates cost updates, routes
+  jobs to the cheapest worker, and (round 3) owns the WebSocket fan-out:
+  every connected node gets cost updates re-broadcast, verification
+  requests routed, and consensus votes tallied.
+* ``SwarmNode`` — the client side: persistent WS connection with a
+  heartbeat thread, exponential-backoff reconnect, a cost-update queue
+  with per-session delta aggregation, and a random-probe verification
+  responder over its registered solve sessions.
+* ``python -m sublinear_tpu.interfaces.swarm --connect ws://...`` runs a
+  standalone worker process (the two-process e2e path).
+
+For a TPU deployment this is the *control plane*; the data plane
+(collective compute) is `parallel/` — SURVEY.md §2.7 maps Flow-Nexus cost
+propagation to multi-host collective updates.
 """
 from __future__ import annotations
 
@@ -20,13 +32,16 @@ import threading
 import time
 import urllib.request
 import uuid
-from typing import Optional
+from typing import Callable, Optional
+
+MAX_PROPAGATION_DEPTH = 3  # drop re-broadcast loops
+COST_QUEUE_FLUSH = 100     # flow-nexus.js:206 batch threshold
 
 
 @dataclasses.dataclass
 class WorkerInfo:
     id: str
-    endpoint: Optional[str]  # http base url, or None for in-process
+    endpoint: Optional[str]  # http base url, or None for in-process/WS
     capabilities: dict
     cost: float = 1.0
     last_heartbeat: float = 0.0
@@ -35,7 +50,8 @@ class WorkerInfo:
 
 
 class SwarmCoordinator:
-    """Tracks workers, aggregates cost updates, routes solve jobs."""
+    """Tracks workers, aggregates cost updates, routes solve jobs, and
+    fans swarm messages out over attached WebSocket connections."""
 
     def __init__(self, heartbeat_timeout: float = 30.0):
         self.swarm_id = str(uuid.uuid4())
@@ -43,12 +59,17 @@ class SwarmCoordinator:
         self.cost_history: list[dict] = []
         self.heartbeat_timeout = heartbeat_timeout
         self.lock = threading.Lock()
+        self.connections: dict[str, object] = {}  # node_id -> WebSocketConnection
+        self.votes: dict[str, list] = {}          # vote_id -> [vote msgs]
+        self.verifications: dict[str, dict] = {}  # request_id -> response
+        self.verify_events: dict[str, threading.Event] = {}
 
     # ----------------------------------------------------------- lifecycle
-    def register(self, endpoint: Optional[str] = None, capabilities: Optional[dict] = None) -> WorkerInfo:
+    def register(self, endpoint: Optional[str] = None, capabilities: Optional[dict] = None,
+                 node_id: Optional[str] = None) -> WorkerInfo:
         """registerSolver (flow-nexus.js:30)."""
         w = WorkerInfo(
-            id=str(uuid.uuid4()),
+            id=node_id or str(uuid.uuid4()),
             endpoint=endpoint,
             capabilities=capabilities or {"methods": ["all"]},
             last_heartbeat=time.time(),
@@ -99,6 +120,80 @@ class SwarmCoordinator:
             "updates": len(self.cost_history),
         }
 
+    # ------------------------------------------------------------- WS plane
+    def attach_ws(self, node_id: str, ws):
+        with self.lock:
+            self.connections[node_id] = ws
+
+    def detach_ws(self, node_id: str):
+        with self.lock:
+            self.connections.pop(node_id, None)
+            if node_id in self.workers:
+                self.workers[node_id].alive = False
+
+    def broadcast(self, message: dict, exclude: Optional[str] = None):
+        """Send to every attached node (flow-nexus.js broadcastCostUpdate)."""
+        with self.lock:
+            conns = [(nid, ws) for nid, ws in self.connections.items() if nid != exclude]
+        for nid, ws in conns:
+            ws.send_json(message)
+
+    def handle_ws_message(self, node_id: str, message: dict, ws) -> Optional[dict]:
+        """Dispatch one swarm message from ``node_id`` (the coordinator-side
+        mirror of flow-nexus.js handleSwarmMessage:165-185)."""
+        mtype = message.get("type")
+        if mtype == "heartbeat":
+            self.heartbeat(node_id)
+            return None
+        if mtype == "cost_update":
+            costs = message.get("delta_costs") or {}
+            values = costs.get("values") or []
+            mean_abs = sum(abs(v) for v in values) / len(values) if values else 0.0
+            try:
+                self.update_cost(node_id, mean_abs or self.workers[node_id].cost,
+                                 {"sessionId": message.get("session_id")})
+            except KeyError:
+                pass
+            depth = int(message.get("propagation_depth", 0)) + 1
+            if depth <= MAX_PROPAGATION_DEPTH:
+                self.broadcast({**message, "propagation_depth": depth,
+                                "source_node": node_id}, exclude=node_id)
+            return None
+        if mtype == "verification_response":
+            rid = message.get("request_id")
+            if rid:
+                self.verifications[rid] = message
+                ev = self.verify_events.get(rid)
+                if ev:
+                    ev.set()
+            return None
+        if mtype == "consensus_vote":
+            self.votes.setdefault(str(message.get("vote_id")), []).append(message)
+            return None
+        if mtype == "ping":
+            return {"type": "pong", "timestamp": time.time()}
+        return {"type": "error", "error": f"Unknown swarm message type: {mtype}"}
+
+    def request_verification(self, node_id: str, session_id: str,
+                             probe_count: int = 10, timeout: float = 10.0,
+                             tolerance: float = 1e-6) -> Optional[dict]:
+        """Route a verification_request to one node and await its response.
+        ``tolerance`` is relative to the session RHS scale (pick ~1e-4 for
+        f32 solves: a correct f32 solution carries ~1e-6-relative rounding)."""
+        with self.lock:
+            ws = self.connections.get(node_id)
+        if ws is None:
+            raise KeyError(f"node {node_id} has no swarm connection")
+        rid = str(uuid.uuid4())
+        ev = threading.Event()
+        self.verify_events[rid] = ev
+        ws.send_json({"type": "verification_request", "request_id": rid,
+                      "session_id": session_id, "probe_count": probe_count,
+                      "tolerance": tolerance})
+        ok = ev.wait(timeout)
+        self.verify_events.pop(rid, None)
+        return self.verifications.get(rid) if ok else None
+
     # ----------------------------------------------------------- routing
     def pick_worker(self) -> Optional[WorkerInfo]:
         self.reap()
@@ -144,7 +239,8 @@ def _solve_local(payload: dict) -> dict:
 
 
 class SwarmWorker:
-    """Client-side handle: register + heartbeat loop (flow-nexus.js:344-405)."""
+    """In-process worker handle: register + heartbeat loop against a local
+    coordinator object (no sockets).  The socket path is SwarmNode."""
 
     def __init__(self, coordinator: SwarmCoordinator, endpoint: Optional[str] = None,
                  capabilities: Optional[dict] = None, heartbeat_interval: float = 5.0):
@@ -164,3 +260,278 @@ class SwarmWorker:
 
     def stop(self):
         self._stop.set()
+
+
+class SwarmNode:
+    """WS swarm client (flow-nexus.js FlowNexusIntegration semantics):
+    persistent connection + heartbeat + exponential-backoff reconnect +
+    cost-update queue with per-session aggregation + verification responder.
+    """
+
+    def __init__(self, url: str, capabilities: Optional[dict] = None,
+                 node_id: Optional[str] = None, heartbeat_interval: float = 30.0,
+                 reconnect_base: float = 1.0, reconnect_cap: float = 30.0,
+                 max_reconnect_attempts: int = 10,
+                 on_cost_update: Optional[Callable[[dict], None]] = None):
+        self.url = url
+        self.capabilities = capabilities or {"methods": ["all"]}
+        self.node_id = node_id or f"node-{uuid.uuid4()}"
+        self.swarm_id: Optional[str] = None
+        self.heartbeat_interval = heartbeat_interval
+        self.reconnect_base = reconnect_base
+        self.reconnect_cap = reconnect_cap
+        self.max_reconnect_attempts = max_reconnect_attempts
+        self.reconnect_attempts = 0
+        self.connected = False
+        self.last_heartbeat: Optional[float] = None
+        self.cost_update_queue: list[dict] = []
+        self.aggregated: list[dict] = []
+        self.sessions: dict[str, tuple] = {}  # session_id -> (matrix, b, x)
+        self.on_cost_update = on_cost_update
+        self._ws = None
+        self._sock = None
+        self._stop = threading.Event()
+        self._threads: list[threading.Thread] = []
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ lifecycle
+    def connect(self, timeout: float = 10.0):
+        """Open the WS channel, register, start reader + heartbeat loops
+        (flow-nexus.js connectToSwarm:127-160 + startHeartbeat:337)."""
+        from .websocket import connect as ws_connect
+
+        ws, sock = ws_connect(self.url, headers={"X-Solver-ID": self.node_id},
+                              timeout=timeout)
+        ws.send_json({"type": "register", "node_id": self.node_id,
+                      "capabilities": self.capabilities})
+        msg = ws.read_message()
+        if msg is None:
+            raise ConnectionError("swarm closed during registration")
+        reply = json.loads(msg[1].decode())
+        if reply.get("type") != "registered":
+            raise ConnectionError(f"swarm registration refused: {reply}")
+        self.swarm_id = reply.get("swarm_id")
+        self._ws, self._sock = ws, sock
+        self.connected = True
+        self.reconnect_attempts = 0
+        t = threading.Thread(target=self._read_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        if not any(getattr(th, "_slt_hb", False) for th in self._threads if th.is_alive()):
+            hb = threading.Thread(target=self._heartbeat_loop, daemon=True)
+            hb._slt_hb = True
+            hb.start()
+            self._threads.append(hb)
+        return reply
+
+    def disconnect(self):
+        self._stop.set()
+        self.connected = False
+        if self._ws is not None:
+            self._ws.close()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+
+    def status(self) -> dict:
+        """getStatus (flow-nexus.js:459-469)."""
+        return {
+            "registered": self.swarm_id is not None,
+            "node_id": self.node_id,
+            "connected": self.connected,
+            "swarm_id": self.swarm_id,
+            "capabilities": self.capabilities,
+            "last_heartbeat": self.last_heartbeat,
+            "queue_size": len(self.cost_update_queue),
+            "reconnect_attempts": self.reconnect_attempts,
+        }
+
+    # ------------------------------------------------------------ reconnect
+    def _schedule_reconnect(self):
+        """Exponential backoff: min(base * 2^attempts, cap), bounded attempts
+        (flow-nexus.js scheduleReconnect:385-405)."""
+        while not self._stop.is_set():
+            self.reconnect_attempts += 1
+            if self.reconnect_attempts > self.max_reconnect_attempts:
+                return  # give up (reference logs "max reconnection attempts")
+            delay = min(self.reconnect_base * (2 ** self.reconnect_attempts),
+                        self.reconnect_cap)
+            if self._stop.wait(delay):
+                return
+            try:
+                self.connect()
+                return
+            except OSError:
+                continue
+            except ConnectionError:
+                continue
+
+    # ------------------------------------------------------------- messaging
+    def _send(self, message: dict) -> bool:
+        ws = self._ws
+        if ws is None or not ws.open:
+            return False
+        ws.send_json(message)
+        return True
+
+    def _heartbeat_loop(self):
+        while not self._stop.wait(self.heartbeat_interval):
+            self._send({"type": "heartbeat", "node_id": self.node_id,
+                        "timestamp": time.time()})
+
+    def _read_loop(self):
+        ws = self._ws
+        while not self._stop.is_set() and ws.open:
+            msg = ws.read_message()
+            if msg is None:
+                break
+            try:
+                message = json.loads(msg[1].decode())
+            except (UnicodeDecodeError, json.JSONDecodeError):
+                continue
+            self._handle(message)
+        self.connected = False
+        if not self._stop.is_set():
+            self._schedule_reconnect()
+
+    def _handle(self, message: dict):
+        """handleSwarmMessage (flow-nexus.js:165-260)."""
+        mtype = message.get("type")
+        if mtype == "cost_update":
+            update = {**message,
+                      "propagation_depth": int(message.get("propagation_depth", 0))}
+            with self._lock:
+                self.cost_update_queue.append(update)
+                flush = len(self.cost_update_queue) >= COST_QUEUE_FLUSH
+            if self.on_cost_update:
+                self.on_cost_update(update)
+            if flush:
+                self.process_cost_update_queue()
+        elif mtype == "verification_request":
+            result = self.perform_verification(message)
+            self._send({
+                "type": "verification_response",
+                "request_id": message.get("request_id"),
+                "session_id": message.get("session_id"),
+                "verified": result["verified"],
+                "max_error": result["max_error"],
+                "node_id": self.node_id,
+            })
+        elif mtype == "heartbeat":
+            self.last_heartbeat = time.time()
+        # consensus_vote / pong / errors: recorded implicitly by callers
+
+    # ---------------------------------------------------------- cost plane
+    def broadcast_cost_update(self, session_id: str, delta_costs: dict,
+                              metadata: Optional[dict] = None):
+        """Send a cost update into the swarm (broadcastCostUpdate :270-281)."""
+        return self._send({
+            "type": "cost_update",
+            "session_id": session_id,
+            "delta_costs": delta_costs,
+            "metadata": metadata or {},
+            "source_node": self.node_id,
+            "propagation_depth": 0,
+            "timestamp": time.time(),
+        })
+
+    def process_cost_update_queue(self) -> list[dict]:
+        """Batch-aggregate queued updates by session: sum delta values per
+        index (applyAggregatedUpdates :310-335).  Returns the aggregates and
+        appends them to ``self.aggregated``."""
+        with self._lock:
+            updates = self.cost_update_queue[:]
+            self.cost_update_queue.clear()
+        by_session: dict[str, list] = {}
+        for u in updates:
+            by_session.setdefault(u.get("session_id"), []).append(u)
+        out = []
+        for sid, us in by_session.items():
+            deltas: dict[int, float] = {}
+            for u in us:
+                dc = u.get("delta_costs") or {}
+                for i, v in zip(dc.get("indices", []), dc.get("values", [])):
+                    deltas[int(i)] = deltas.get(int(i), 0.0) + float(v)
+            out.append({
+                "session_id": sid,
+                "delta_costs": {"indices": list(deltas.keys()),
+                                "values": list(deltas.values())},
+                "update_count": len(us),
+                "timestamp": time.time(),
+            })
+        self.aggregated.extend(out)
+        return out
+
+    # -------------------------------------------------------- verification
+    def add_session(self, session_id: str, matrix, b, x):
+        """Register a solved session for random-probe verification."""
+        self.sessions[session_id] = (matrix, b, x)
+
+    def perform_verification(self, request: dict) -> dict:
+        """Random-probe verification over a registered session: sample rows,
+        check |A x - b| on them (a REAL check — the reference's
+        performVerification stub returns verified:true unconditionally,
+        flow-nexus.js:234-242)."""
+        import numpy as np
+
+        sid = request.get("session_id")
+        probes = int(request.get("probe_count", 10))
+        sess = self.sessions.get(sid)
+        if sess is None:
+            return {"verified": False, "max_error": float("inf"),
+                    "probe_count": 0, "reason": f"unknown session {sid}"}
+        matrix, b, x = sess
+        n = matrix.shape[0]
+        rng = np.random.default_rng(abs(hash(str(request.get("request_id")))) % (2**32))
+        rows = rng.choice(n, size=min(probes, n), replace=False)
+        r = matrix.csr.matvec(np.asarray(x, dtype=np.float64)) - np.asarray(b, dtype=np.float64)
+        max_err = float(np.abs(r[rows]).max()) if rows.size else 0.0
+        tol = float(request.get("tolerance", 1e-6))
+        scale = float(np.abs(np.asarray(b)).max()) or 1.0
+        return {"verified": max_err <= tol * scale, "max_error": max_err,
+                "probe_count": int(rows.size)}
+
+
+def _worker_main(argv=None):
+    """Standalone worker process: connect to a coordinator's swarm WS and
+    serve until killed (the two-process e2e entry)."""
+    import argparse
+
+    import numpy as np
+
+    import sublinear_tpu as slt
+
+    ap = argparse.ArgumentParser(description="sublinear-tpu swarm worker")
+    ap.add_argument("--connect", required=True, help="ws://host:port/ws/swarm")
+    ap.add_argument("--id", default=None)
+    ap.add_argument("--heartbeat", type=float, default=2.0)
+    ap.add_argument("--demo-session", action="store_true",
+                    help="register a solved demo session + announce a cost update")
+    a = ap.parse_args(argv)
+
+    node = SwarmNode(a.connect, node_id=a.id, heartbeat_interval=a.heartbeat,
+                     reconnect_base=0.25)
+    node.connect()
+    print(json.dumps({"event": "connected", **node.status()}), flush=True)
+    if a.demo_session:
+        A = slt.generate("tridiagonal", 64)
+        b = slt.rhs(64, seed=1)
+        r = slt.solve(A, b, method="conjugate-gradient", epsilon=1e-8)
+        node.add_session("demo", A, b, r.solution)
+        node.broadcast_cost_update(
+            "demo", {"indices": [0, 1], "values": [float(r.residual), 0.0]})
+        print(json.dumps({"event": "demo_ready", "residual": float(r.residual)}),
+              flush=True)
+    try:
+        while node.connected or node.reconnect_attempts <= node.max_reconnect_attempts:
+            time.sleep(0.2)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        node.disconnect()
+
+
+if __name__ == "__main__":
+    _worker_main()

@@ -48,11 +48,15 @@ def perform_handshake(handler) -> bool:
 
 
 class WebSocketConnection:
-    """Frame-level reader/writer over the handler's rfile/wfile."""
+    """Frame-level reader/writer over the handler's rfile/wfile.
 
-    def __init__(self, rfile, wfile):
+    ``client=True`` masks outgoing frames (RFC 6455 §5.1: client->server
+    frames MUST be masked; server->client MUST NOT be)."""
+
+    def __init__(self, rfile, wfile, client: bool = False):
         self.rfile = rfile
         self.wfile = wfile
+        self.client = client
         self.send_lock = threading.Lock()
         self.open = True
 
@@ -60,12 +64,19 @@ class WebSocketConnection:
     def send_frame(self, payload: bytes, opcode: int = OP_TEXT):
         header = bytes([0x80 | opcode])
         n = len(payload)
+        mask_bit = 0x80 if self.client else 0
         if n < 126:
-            header += bytes([n])
+            header += bytes([mask_bit | n])
         elif n < (1 << 16):
-            header += bytes([126]) + struct.pack(">H", n)
+            header += bytes([mask_bit | 126]) + struct.pack(">H", n)
         else:
-            header += bytes([127]) + struct.pack(">Q", n)
+            header += bytes([mask_bit | 127]) + struct.pack(">Q", n)
+        if self.client:
+            import os
+
+            mask = os.urandom(4)
+            payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+            header += mask
         with self.send_lock:
             self.wfile.write(header + payload)
             self.wfile.flush()
@@ -149,6 +160,60 @@ class WebSocketConnection:
             payload += data
             if fin:
                 return opcode, bytes(payload)
+
+
+def connect(url: str, headers: dict | None = None, timeout: float = 10.0):
+    """Open a client WebSocket to ``ws://host:port/path`` (stdlib sockets).
+
+    Returns (WebSocketConnection, socket).  The reference uses the npm `ws`
+    client for its swarm channel (integrations/flow-nexus.js:127-160); this
+    is the equivalent handshake: GET upgrade with a random Sec-WebSocket-Key,
+    101 response validated against the accept digest."""
+    import os
+    import socket
+    from urllib.parse import urlparse
+
+    u = urlparse(url)
+    if u.scheme not in ("ws", "http"):
+        raise ValueError(f"unsupported websocket scheme {u.scheme!r}")
+    host = u.hostname or "127.0.0.1"
+    port = u.port or 80
+    path = u.path or "/"
+    if u.query:
+        path += "?" + u.query
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock = socket.create_connection((host, port), timeout=timeout)
+    req = [
+        f"GET {path} HTTP/1.1",
+        f"Host: {host}:{port}",
+        "Upgrade: websocket",
+        "Connection: Upgrade",
+        f"Sec-WebSocket-Key: {key}",
+        "Sec-WebSocket-Version: 13",
+    ]
+    for k, v in (headers or {}).items():
+        req.append(f"{k}: {v}")
+    sock.sendall(("\r\n".join(req) + "\r\n\r\n").encode())
+
+    rfile = sock.makefile("rb")
+    status = rfile.readline().decode("latin-1")
+    if " 101 " not in status:
+        sock.close()
+        raise ConnectionError(f"websocket upgrade refused: {status.strip()}")
+    resp_headers = {}
+    while True:
+        line = rfile.readline().decode("latin-1").strip()
+        if not line:
+            break
+        if ":" in line:
+            k, v = line.split(":", 1)
+            resp_headers[k.strip().lower()] = v.strip()
+    if resp_headers.get("sec-websocket-accept") != accept_key(key):
+        sock.close()
+        raise ConnectionError("websocket accept-key mismatch")
+    sock.settimeout(None)
+    ws = WebSocketConnection(rfile, sock.makefile("wb"), client=True)
+    return ws, sock
 
 
 def client_frame(payload: bytes, opcode: int = OP_TEXT, mask: bytes = b"\x12\x34\x56\x78") -> bytes:
