@@ -50,10 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import backend
 from . import spmv
 
+import os as _os
+
 GRID_ROWS = 16384         # padding unit for source/dest index spaces
 MAX_BANKS = 4             # dest blocks <= MAX_BANKS*128 (idx2 lane budget)
-SRC_LOAD = 0.68           # target source-grid occupancy
-DST_LOAD = 0.42           # target dest-slot occupancy
+SRC_LOAD = float(_os.environ.get("SLT_XBAR_SRC_LOAD", 0.68))  # source occupancy
+DST_LOAD = float(_os.environ.get("SLT_XBAR_DST_LOAD", 0.42))  # dest-slot occupancy
 ROT = 37                  # per-slot dest-lane rotation (odd -> all distinct)
 
 

@@ -11,6 +11,7 @@ import pytest
 import jax
 
 import sublinear_tpu as slt
+from conftest import make_dd_system
 from sublinear_tpu.parallel.mesh import factor2, make_mesh
 from sublinear_tpu.parallel.sharded import solve_batch, solve_cg_sharded
 
@@ -324,3 +325,31 @@ def test_sharded_bmssp_matches_single(mesh8):
     np.testing.assert_allclose(dist_m[:n], dist_s[:n], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(x_m[:n], x_s[:n], rtol=1e-4, atol=1e-5)
     assert sweeps > 0
+
+
+def test_ring_halo_banded_cg(mesh8):
+    """ppermute ring-halo CG on a banded SPD system: O(bandwidth) comm per
+    iteration instead of an O(n) all_gather (SURVEY.md §5.8 ring pattern)."""
+    from sublinear_tpu.parallel.banded import solve_cg_banded_sharded
+
+    n = 4096
+    A = slt.Matrix(slt.generate("tridiagonal", n).csr.add_diagonal(0.5))
+    b = slt.rhs(n, seed=11)
+    r = solve_cg_banded_sharded(A, b, mesh=mesh8,
+                                options=slt.SolverOptions(epsilon=1e-6))
+    assert r.converged, r.residual
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(r.solution, x_ref, rtol=1e-3, atol=1e-4)
+    # comm accounting: two halo slabs, independent of n
+    d = r.distribution
+    assert d["comm_bytes_per_iter"] == 2 * d["halo_rows"] * 4
+    assert d["comm_bytes_per_iter"] < n  # << the all_gather's n*4 bytes
+
+
+def test_ring_halo_rejects_unbanded(mesh8):
+    from sublinear_tpu.errors import InvalidMatrixError
+    from sublinear_tpu.parallel.banded import solve_cg_banded_sharded
+
+    A, b, _ = make_dd_system(n=256, density=0.05, seed=3)
+    with pytest.raises(InvalidMatrixError):
+        solve_cg_banded_sharded(A, b, mesh=mesh8)
