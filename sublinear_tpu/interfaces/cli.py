@@ -266,6 +266,74 @@ def cmd_prove(args):
     return 0 if out["proved"] else 1
 
 
+def cmd_train(args):
+    """Config-driven System-A training (reference
+    neural-network-implementation/src/bin/train.rs: --config + data path)."""
+    import numpy as np
+
+    from ..models import Config, Trainer
+    from ..models.trainer import load_series_csv, make_windows
+
+    cfg = Config.load(args.config)
+    if args.data:
+        series = load_series_csv(args.data, column=args.column)
+    else:  # built-in synthetic series for smoke runs
+        t = np.arange(4096, dtype=np.float32)
+        series = np.sin(2 * np.pi * t / 50) + 0.1 * np.sin(2 * np.pi * t / 7)
+    window = min(cfg.common.window_steps, max(len(series) // 4, 2))
+    windows, targets = make_windows(series, window=window, horizon=1)
+    split = max(int(len(windows) * 0.8), 1)
+    trainer = Trainer.from_config(cfg, window=window)
+    history = trainer.fit(
+        windows[:split], targets[:split],
+        validation_data=(windows[split:], targets[split:]) if split < len(windows) else None,
+        verbose=args.verbose or cfg.common.verbose,
+    )
+    if args.out:
+        trainer.save(args.out)
+    print(json.dumps({
+        "config": args.config, "epochs_run": len(history),
+        "final_loss": history[-1] if history else None,
+        "val_loss": trainer.evaluate(windows[split:], targets[split:])
+        if split < len(windows) else None,
+        "saved": args.out,
+    }))
+    return 0
+
+
+def cmd_nn_latency(args):
+    """Per-tick latency harness against the 0.90 ms P99.9 budget
+    (reference lib.rs:63-74)."""
+    from ..models import Config, Predictor, Trainer, build_system, latency_report
+    from ..models.temporal_net import SystemA
+
+    cfg = Config.load(args.config)
+    window = cfg.common.window_steps
+    system = build_system(cfg)
+    if isinstance(system, SystemA):
+        trainer = Trainer(system, window=window, features=1,
+                          training_config=cfg.training)
+        pred = Predictor.new_system_a(system, trainer.state.params,
+                                      cfg.inference, quantize=cfg.common.quantize)
+    else:
+        pred = Predictor.new_system_b(system, cfg.inference)
+    rep = latency_report(pred, (window, 1), ticks=args.ticks, warmup=args.warmup)
+    print(json.dumps(rep))
+    return 0
+
+
+def cmd_swarm_worker(args):
+    from .swarm import _worker_main
+
+    worker_args = ["--connect", args.connect, "--heartbeat", str(args.heartbeat)]
+    if args.id:
+        worker_args += ["--id", args.id]
+    if args.demo_session:
+        worker_args += ["--demo-session"]
+    _worker_main(worker_args)
+    return 0
+
+
 def cmd_serve_mcp(args):
     from .mcp_server import MCPServer
 
@@ -375,6 +443,27 @@ def build_parser():
     s.add_argument("-e", "--epsilon", type=float, default=1e-6)
     s.add_argument("--pretty", action="store_true")
     s.set_defaults(fn=cmd_prove)
+
+    s = sub.add_parser("train", help="config-driven temporal-net training")
+    s.add_argument("--config", required=True, help="YAML/JSON config (configs/)")
+    s.add_argument("--data", help="CSV time-series; synthetic sine when omitted")
+    s.add_argument("--column", type=int, default=-1)
+    s.add_argument("--out", help="save trained parameters (msgpack)")
+    s.add_argument("--verbose", action="store_true")
+    s.set_defaults(fn=cmd_train)
+
+    s = sub.add_parser("nn-latency", help="per-tick latency harness (P99.9 budget)")
+    s.add_argument("--config", required=True)
+    s.add_argument("--ticks", type=int, default=1000)
+    s.add_argument("--warmup", type=int, default=25)
+    s.set_defaults(fn=cmd_nn_latency)
+
+    s = sub.add_parser("swarm-worker", help="connect a worker to a swarm coordinator")
+    s.add_argument("--connect", required=True, help="ws://host:port/ws/swarm")
+    s.add_argument("--id")
+    s.add_argument("--heartbeat", type=float, default=5.0)
+    s.add_argument("--demo-session", action="store_true")
+    s.set_defaults(fn=cmd_swarm_worker)
 
     s = sub.add_parser("serve-mcp", help="run the MCP stdio server")
     s.set_defaults(fn=cmd_serve_mcp)

@@ -453,3 +453,27 @@ def test_http_middleware_parity(http_server):
     finally:
         hs.RATE_LIMITER.limit = old
         hs.RATE_LIMITER._hits.clear()
+
+
+def test_cli_train_and_latency(tmp_path):
+    """Config-driven training + per-tick latency harness through the CLI
+    (reference bin/train.rs + lib.rs latency budget)."""
+    cfg = tmp_path / "tiny.json"
+    cfg.write_text(json.dumps({
+        "common": {"window_ms": 8, "sample_rate_hz": 1000, "features": ["x"],
+                   "quantize": False},
+        "model": {"hidden_size": 8},
+        "training": {"epochs": 2, "batch_size": 32, "patience": 0},
+        "inference": {"target_latency_ms": 1000.0},
+    }))
+    out = tmp_path / "params.msgpack"
+    r = run_cli(["train", "--config", str(cfg), "--out", str(out)])
+    assert r.returncode == 0, r.stderr
+    doc = json.loads(r.stdout.strip().splitlines()[-1])
+    assert doc["epochs_run"] == 2 and out.exists()
+
+    r = run_cli(["nn-latency", "--config", str(cfg), "--ticks", "20",
+                 "--warmup", "2"])
+    assert r.returncode == 0, r.stderr
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["ticks"] == 20 and "tick" in rep and rep["meets_targets"] is True
