@@ -29,7 +29,7 @@ from .quantization import (
 )
 from .solver_gate import GateConfig, GateStats, SolverGate
 from .temporal_net import ResidualNet, SystemA, SystemB
-from .trainer import Trainer, make_optimizer, make_windows
+from .trainer import Trainer, make_optimizer, make_windows, train_system_b
 
 __all__ = [
     # config system
@@ -50,5 +50,5 @@ __all__ = [
     "select_samples", "similarity_graph",
     # models + training
     "SystemA", "SystemB", "ResidualNet",
-    "Trainer", "make_optimizer", "make_windows",
+    "Trainer", "make_optimizer", "make_windows", "train_system_b",
 ]

@@ -203,6 +203,129 @@ class Trainer:
             self.state.params = serialization.from_bytes(self.state.params, f.read())
 
 
+def train_system_b(system, windows, targets, config, validation_data=None,
+                   seed: int = 0, verbose: bool = False) -> list:
+    """System-B training: residual learning on the Kalman prior with
+    PageRank active sample selection.
+
+    Reference semantics (training/mod.rs:246-340 train_system_b): epochs 0-1
+    train on the full set; from epoch 2 each epoch trains on the
+    ``samples_per_epoch`` samples scoring highest on
+    error_weight * normalized_residual_error + diversity_weight * pagerank
+    (ActiveSelectionConfig, config.rs:162); early stopping on val loss; the
+    gate pass rate is tracked per epoch.
+
+    TPU design: priors for ALL windows come from one vmapped Kalman scan;
+    per-sample errors for the selection step are one jitted batch eval —
+    active selection costs two device dispatches per epoch, not a host loop.
+    Returns per-epoch log dicts; ``system.params`` is updated in place."""
+    import functools
+
+    from .config import ActiveSelectionConfig
+    from .losses import get_loss
+
+    net, kalman = system.net, system.kalman
+    tcfg = config.training
+    acfg = config.system.active_selection or ActiveSelectionConfig()
+    horizon = net.horizon
+
+    W = np.asarray(windows, dtype=np.float32)      # (N, T, F)
+    Y = np.asarray(targets, dtype=np.float32)      # (N, horizon)
+    N = W.shape[0]
+
+    @jax.jit
+    def priors_of(Wd):
+        def one(w):
+            sT, _ = kalman.filter_sequence(w[:, :1])
+            return kalman.forecast(sT, horizon).reshape(-1)
+
+        return jax.vmap(one)(Wd)
+
+    W_dev = jnp.asarray(W)
+    P_all = priors_of(W_dev)                        # (N, horizon) priors
+    R_all = jnp.asarray(Y) - P_all                  # residual targets
+    F_all = W_dev.reshape(N, -1)
+
+    tx = make_optimizer(tcfg.optimizer, tcfg.learning_rate,
+                        tcfg.grad_clip, tcfg.weight_decay)
+    base_loss = get_loss(tcfg.loss, smoothness_weight=tcfg.smoothness_weight)
+    params = system.params
+    opt_state = tx.init(params)
+
+    def loss_fn(params, wf, pr, rt):
+        preds = jax.vmap(lambda a, b: net.apply(params, a, b))(wf, pr)
+        return base_loss(preds, rt)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, wf, pr, rt):
+        val, grads = jax.value_and_grad(loss_fn)(params, wf, pr, rt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    @jax.jit
+    def sample_errors(params, wf, pr, rt):
+        preds = jax.vmap(lambda a, b: net.apply(params, a, b))(wf, pr)
+        return jnp.mean((preds - rt) ** 2, axis=1)
+
+    # diversity scores: PageRank over the window-feature kNN graph, computed
+    # once (the graph doesn't change across epochs)
+    from .pagerank_selector import select_samples
+
+    div = np.asarray(select_samples(W.reshape(N, -1), num_select=1,
+                                    k=min(acfg.k, max(N - 1, 1)))["allScores"])
+    div = div / max(float(div.max()), 1e-30)
+
+    if validation_data is not None:
+        Wv = jnp.asarray(np.asarray(validation_data[0], np.float32))
+        Pv = priors_of(Wv)
+        Rv = jnp.asarray(np.asarray(validation_data[1], np.float32)) - Pv
+        Fv = Wv.reshape(Wv.shape[0], -1)
+
+    rng = np.random.default_rng(seed)
+    batch = min(tcfg.batch_size, N)
+    history = []
+    best_val = float("inf")
+    patience = 0
+    for epoch in range(tcfg.epochs):
+        if epoch < 2:
+            pool = np.arange(N)  # first 2 epochs: full data (mod.rs:261-266)
+        else:
+            err = np.asarray(sample_errors(params, F_all, P_all, R_all))
+            e_n = err / max(float(err.max()), 1e-30)
+            score = acfg.error_weight * e_n + acfg.diversity_weight * div
+            pool = np.argsort(-score)[: min(acfg.samples_per_epoch, N)]
+        order = rng.permutation(pool)
+        total, nb = 0.0, 0
+        for s in range(0, len(order) - batch + 1, batch):
+            idx = jnp.asarray(order[s : s + batch])
+            params, opt_state, loss = train_step(
+                params, opt_state, F_all[idx], P_all[idx], R_all[idx])
+            total += float(loss)
+            nb += 1
+        logs = {"epoch": epoch, "loss": total / max(nb, 1),
+                "samples": int(len(order))}
+        if validation_data is not None:
+            logs["val_loss"] = float(loss_fn(params, Fv, Pv, Rv))
+            if logs["val_loss"] < best_val:
+                best_val, patience = logs["val_loss"], 0
+            else:
+                patience += 1
+        # gate pass rate on this epoch's predictions (SystemBMetrics)
+        probe = jnp.asarray(rng.choice(N, size=min(64, N), replace=False))
+        preds = np.asarray(jax.vmap(lambda a, b: net.apply(params, a, b))(
+            F_all[probe], P_all[probe])) + np.asarray(P_all[probe])
+        pad = np.zeros((preds.shape[0], max(0, 2 - horizon)))
+        _, passed = system.gate.verify(np.concatenate([preds, pad], axis=1))
+        logs["gate_pass_rate"] = float(passed.mean())
+        history.append(logs)
+        if verbose:
+            print(" ".join(f"{k}={v}" for k, v in logs.items()))
+        if validation_data is not None and tcfg.patience > 0 and patience >= tcfg.patience:
+            break
+    system.params = params
+    return history
+
+
 def load_series_csv(path: str, column: int | str = -1, skip_header: bool = True) -> np.ndarray:
     """CSV time-series loader (reference: neural-network-implementation
     src/data CSV loader).  Returns one column as a float32 series."""

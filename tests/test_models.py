@@ -315,3 +315,37 @@ def test_system_b_streaming_tick_runs_and_gates():
     outs = [pred.predict_tick(rng.standard_normal(1).astype(np.float32)) for _ in range(10)]
     assert all(np.isfinite(o).all() and o.shape == (1,) for o in outs)
     assert pred.tick_percentiles()["p50"] > 0
+
+
+def test_train_system_b_residual_active_selection():
+    """System-B trainer: residual learning on the Kalman prior with
+    PageRank active selection from epoch 2 (training/mod.rs:246-340)."""
+    from sublinear_tpu.models import Config, SystemB, train_system_b
+
+    cfg = Config.from_dict({
+        "common": {"window_ms": 8, "sample_rate_hz": 1000, "features": ["x"]},
+        "training": {"epochs": 6, "batch_size": 32, "patience": 0,
+                     "learning_rate": 0.005},
+        "system": {"type": "TemporalSolver",
+                   "solver_gate": {"max_cert_error": 0.05},
+                   "active_selection": {"k": 6, "samples_per_epoch": 96,
+                                        "error_weight": 0.8,
+                                        "diversity_weight": 0.2}},
+    })
+    t = np.arange(420, dtype=np.float32)
+    series = np.sin(2 * np.pi * t / 30)
+    windows, targets = make_windows(series, window=8, horizon=1)
+    sysb = SystemB.create(window=8, features=1, hidden=8, horizon=1, seed=3)
+    hist = train_system_b(sysb, windows[:256], targets[:256], cfg,
+                          validation_data=(windows[256:320], targets[256:320]))
+    assert len(hist) == 6
+    # epochs 0-1 use the full pool; later epochs the active-selection budget
+    assert hist[0]["samples"] == 256 and hist[3]["samples"] == 96
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert all("gate_pass_rate" in h and "val_loss" in h for h in hist)
+    # residual learning should beat the raw Kalman prior on held-out data
+    prior_only_err = np.mean((targets[320:350] - np.stack(
+        [sysb.prior(w, 1) for w in windows[320:350]])) ** 2)
+    model_err = np.mean((targets[320:350] - np.stack(
+        [sysb.predict(w) for w in windows[320:350]])) ** 2)
+    assert model_err < prior_only_err
