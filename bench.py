@@ -6,6 +6,12 @@ docs/benchmarks/BENCHMARK_REPORT.md:29-37):
   n=10,000  density 1e-3   reference best (Rust)      4.1  ms
   n=100,000 density 1e-4   reference best (Rust)      9.2  ms
 
+Iteration budget: these systems contract at rho ~= 0.21/iter (measured by
+the convergence-checked solver: 10 iterations to 1e-6 at both sizes, RHS-
+scale independent); the chain runs a fixed 14 (40% margin) and VERIFIES
+every repetition's relative residual at 1e-6 — a failed verification
+poisons the metric to inf, so the margin is load-bearing, not cosmetic.
+
 Prints ONE JSON line.  The headline metric is the n=100k row (the regime the
 round-1 verdict flagged); the full ladder rides in "ladder".
 
@@ -193,9 +199,9 @@ def main():
         if n <= 2000:
             per_ms, ok, max_res = bench_vmapped_small(A, b)
         elif n <= 20000:
-            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=8, r_long=40, iters=32)
+            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=8, r_long=40, iters=14)
         else:
-            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=4, r_long=20, iters=32)
+            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=4, r_long=20, iters=14)
         if not ok:
             per_ms = float("inf")
         ladder_out.append({

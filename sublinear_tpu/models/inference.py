@@ -152,6 +152,16 @@ class Predictor:
             self._tick = jax.jit(tick, donate_argnums=0)
             self._stream_init = jax.jit(
                 lambda w: jax.lax.scan(tick, jnp.zeros(model.hidden), w)[0])
+        else:
+            # TCN: dilated convs need the window — carry it as a device ring
+            # (roll + set, donated) and re-apply the full conv stack; still
+            # one fused dispatch per tick with zero host allocation.
+            def tick(buf, x):  # buf: (T, F)
+                buf = jnp.roll(buf, -1, axis=0).at[-1].set(x)
+                return buf, apply(params, buf)
+
+            self._tick = jax.jit(tick, donate_argnums=0)
+            self._stream_init = jax.jit(lambda w: w)
         return self
 
     @classmethod

@@ -349,3 +349,21 @@ def test_train_system_b_residual_active_selection():
     model_err = np.mean((targets[320:350] - np.stack(
         [sysb.predict(w) for w in windows[320:350]])) ** 2)
     assert model_err < prior_only_err
+
+
+def test_tcn_streaming_tick_matches_full_window():
+    """TCN streaming: carried device window ring == full-window forward."""
+    from sublinear_tpu.models import Predictor
+
+    model = SystemA(hidden=8, arch="tcn", horizon=1)
+    trainer = Trainer(model, window=8, features=1)
+    pred = Predictor.new_system_a(model, trainer.state.params)
+    rng = np.random.default_rng(2)
+    w = rng.standard_normal((8, 1)).astype(np.float32)
+    pred.init_stream(w)
+    hist = w
+    for x in rng.standard_normal((4, 1)).astype(np.float32):
+        out = pred.predict_tick(x)
+        hist = np.concatenate([hist[1:], x[None]], axis=0)
+    full = np.asarray(model.apply(trainer.state.params, jnp.asarray(hist)))
+    np.testing.assert_allclose(out, full, rtol=1e-5, atol=1e-6)
