@@ -202,6 +202,15 @@ Convert between matrix formats (JSON / MatrixMarket / CSV):
 Timing sweep over sizes:
   sublinear-tpu benchmark --sizes 100,1000,10000 --method conjugate-gradient
 
+Train a temporal micro-net from a YAML config (System A):
+  sublinear-tpu train --config configs/A_traditional.yaml --data series.csv
+
+Per-tick inference latency vs the 0.90 ms P99.9 budget:
+  sublinear-tpu nn-latency --config configs/B_temporal_solver.yaml
+
+Join a swarm as a worker over WebSocket:
+  sublinear-tpu swarm-worker --connect ws://coordinator:3000/ws/swarm
+
 Run the MCP stdio server (for LLM agents):
   sublinear-tpu serve-mcp
 

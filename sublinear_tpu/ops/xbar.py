@@ -222,7 +222,6 @@ def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
         @pl.when(pl.program_id(1) == 0)
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (Bs, 128), 1)
         for i in range(G2):
             if small:
                 db = G2 * pl.program_id(1) + i
@@ -233,8 +232,9 @@ def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
                 jrow = i * 128
             s_k = (k * ROT) % 128
             m = o_ref[:, i, :]                                  # (Bs, ds)
-            rot = (lane + s_k) & 127
-            mp = jnp.take_along_axis(m, rot, axis=1)            # (Bs, dsr)
+            # undo the slot rotation: a lane ROTATE (hardware shift), not a
+            # gather — mp[:, i] = m[:, (i + s_k) & 127]
+            mp = pltpu.roll(m, -s_k, 1)                         # (Bs, dsr)
             mt = mp.T                                           # (dsr, Bs)
             if Bs < 128:
                 mt = jnp.concatenate(
