@@ -61,6 +61,8 @@ class SwarmCoordinator:
         self.lock = threading.Lock()
         self.connections: dict[str, object] = {}  # node_id -> WebSocketConnection
         self.votes: dict[str, list] = {}          # vote_id -> [vote msgs]
+        self.vote_events: dict[str, threading.Event] = {}
+        self.vote_quorums: dict[str, int] = {}
         self.verifications: dict[str, dict] = {}  # request_id -> response
         self.verify_events: dict[str, threading.Event] = {}
 
@@ -131,12 +133,25 @@ class SwarmCoordinator:
             if node_id in self.workers:
                 self.workers[node_id].alive = False
 
-    def broadcast(self, message: dict, exclude: Optional[str] = None):
-        """Send to every attached node (flow-nexus.js broadcastCostUpdate)."""
+    def broadcast(self, message: dict, exclude: Optional[str] = None) -> int:
+        """Send to every attached node (flow-nexus.js broadcastCostUpdate).
+
+        A dead socket must not poison the fan-out: per-node send failures are
+        caught, the node is detached (and marked not-alive), and delivery
+        continues to the remaining nodes.  Returns the delivered count."""
         with self.lock:
             conns = [(nid, ws) for nid, ws in self.connections.items() if nid != exclude]
+        delivered = 0
         for nid, ws in conns:
-            ws.send_json(message)
+            try:
+                ws.send_json(message)  # swallows socket errors -> ws.open False
+                if getattr(ws, "open", True):
+                    delivered += 1
+                else:
+                    self.detach_ws(nid)
+            except (OSError, ValueError, RuntimeError):
+                self.detach_ws(nid)
+        return delivered
 
     def handle_ws_message(self, node_id: str, message: dict, ws) -> Optional[dict]:
         """Dispatch one swarm message from ``node_id`` (the coordinator-side
@@ -168,7 +183,11 @@ class SwarmCoordinator:
                     ev.set()
             return None
         if mtype == "consensus_vote":
-            self.votes.setdefault(str(message.get("vote_id")), []).append(message)
+            vid = str(message.get("vote_id"))
+            self.votes.setdefault(vid, []).append(message)
+            ev = self.vote_events.get(vid)
+            if ev is not None and len(self.votes[vid]) >= self.vote_quorums.get(vid, 1):
+                ev.set()
             return None
         if mtype == "ping":
             return {"type": "pong", "timestamp": time.time()}
@@ -193,6 +212,57 @@ class SwarmCoordinator:
         ok = ev.wait(timeout)
         self.verify_events.pop(rid, None)
         return self.verifications.get(rid) if ok else None
+
+    # ----------------------------------------------------------- consensus
+    def decide(self, vote_id: str, quorum: int = 1) -> dict:
+        """Majority decision over the tallied ``consensus_vote`` messages for
+        ``vote_id`` (one vote per node — last write wins).  The reference only
+        *emits* consensus_vote events (flow-nexus.js:175,246-250); here they
+        close the loop into an actual decision."""
+        with self.lock:
+            msgs = list(self.votes.get(str(vote_id), []))
+        by_node: dict[str, object] = {}
+        for m in msgs:
+            by_node[str(m.get("node_id"))] = m.get("value")
+        counts: dict[str, int] = {}
+        for v in by_node.values():
+            counts[json.dumps(v)] = counts.get(json.dumps(v), 0) + 1
+        total = len(by_node)
+        decision = None
+        if counts:
+            winner_key, winner_n = max(counts.items(), key=lambda kv: kv[1])
+            # a majority (not just plurality) is required to decide
+            if winner_n * 2 > total:
+                decision = json.loads(winner_key)
+        return {
+            "vote_id": str(vote_id),
+            "decision": decision,
+            "counts": {k: v for k, v in counts.items()},
+            "votes": total,
+            "quorum": int(quorum),
+            "quorum_met": total >= int(quorum),
+        }
+
+    def run_consensus(self, proposal: dict, vote_id: Optional[str] = None,
+                      quorum: Optional[int] = None, timeout: float = 10.0) -> dict:
+        """Broadcast a ``consensus_request`` and await ``quorum`` votes
+        (default: all currently connected nodes), then apply the majority
+        rule.  Nodes answer via SwarmNode.cast_vote / its auto-responder."""
+        vid = str(vote_id or uuid.uuid4())
+        with self.lock:
+            n_nodes = len(self.connections)
+        q = int(quorum) if quorum is not None else max(1, n_nodes)
+        ev = threading.Event()
+        self.vote_events[vid] = ev
+        self.vote_quorums[vid] = q
+        sent = self.broadcast({"type": "consensus_request", "vote_id": vid,
+                               "proposal": proposal, "quorum": q,
+                               "timestamp": time.time()})
+        if sent:
+            ev.wait(timeout)
+        self.vote_events.pop(vid, None)
+        self.vote_quorums.pop(vid, None)
+        return self.decide(vid, quorum=q)
 
     # ----------------------------------------------------------- routing
     def pick_worker(self) -> Optional[WorkerInfo]:
@@ -272,7 +342,8 @@ class SwarmNode:
                  node_id: Optional[str] = None, heartbeat_interval: float = 30.0,
                  reconnect_base: float = 1.0, reconnect_cap: float = 30.0,
                  max_reconnect_attempts: int = 10,
-                 on_cost_update: Optional[Callable[[dict], None]] = None):
+                 on_cost_update: Optional[Callable[[dict], None]] = None,
+                 on_consensus: Optional[Callable[[dict], object]] = None):
         self.url = url
         self.capabilities = capabilities or {"methods": ["all"]}
         self.node_id = node_id or f"node-{uuid.uuid4()}"
@@ -288,6 +359,7 @@ class SwarmNode:
         self.aggregated: list[dict] = []
         self.sessions: dict[str, tuple] = {}  # session_id -> (matrix, b, x)
         self.on_cost_update = on_cost_update
+        self.on_consensus = on_consensus
         self._ws = None
         self._sock = None
         self._stop = threading.Event()
@@ -419,9 +491,41 @@ class SwarmNode:
                 "max_error": result["max_error"],
                 "node_id": self.node_id,
             })
+        elif mtype == "consensus_request":
+            self.cast_vote(message.get("vote_id"),
+                           self.vote_policy(message.get("proposal") or {}))
         elif mtype == "heartbeat":
             self.last_heartbeat = time.time()
         # consensus_vote / pong / errors: recorded implicitly by callers
+
+    # ------------------------------------------------------------ consensus
+    def vote_policy(self, proposal: dict):
+        """Default voting policy for an incoming consensus_request: if the
+        proposal names a session this node holds, vote the outcome of a real
+        random-probe verification of it; otherwise accept.  Override (or pass
+        ``on_consensus`` at construction) for richer policies."""
+        if self.on_consensus is not None:
+            return self.on_consensus(proposal)
+        sid = proposal.get("session_id")
+        if sid is not None and sid in self.sessions:
+            return bool(self.perform_verification(
+                {"session_id": sid,
+                 "probe_count": int(proposal.get("probe_count", 10)),
+                 "tolerance": float(proposal.get("tolerance", 1e-4)),
+                 "request_id": proposal.get("vote_id", sid)})["verified"])
+        return True
+
+    def cast_vote(self, vote_id, value, metadata: Optional[dict] = None) -> bool:
+        """Send a ``consensus_vote`` into the swarm (the reference emits these
+        as first-class events, flow-nexus.js:175,246-250)."""
+        return self._send({
+            "type": "consensus_vote",
+            "vote_id": str(vote_id),
+            "node_id": self.node_id,
+            "value": value,
+            "metadata": metadata or {},
+            "timestamp": time.time(),
+        })
 
     # ---------------------------------------------------------- cost plane
     def broadcast_cost_update(self, session_id: str, delta_costs: dict,

@@ -450,8 +450,10 @@ def solve_neumann_sharded(
 # ------------------------------------------------------------------ batched
 
 @functools.partial(jax.jit, static_argnames=("precondition",))
-def _cg_batch_run(op, B, X0, threshold, max_iters, precondition):
-    """CG over a block of RHS columns; converges on the max column residual.
+def _cg_batch_run(op, B, X0, thresholds, max_iters, precondition):
+    """CG over a block of RHS columns with PER-COLUMN convergence thresholds
+    (``thresholds``: (nrhs,)) — a column with a tiny RHS norm is held to its
+    own relative tolerance, not the loosest column's.
     Replaces the reference's sequential batch loop (tools/solver.ts:291-321)."""
     inv_d = op.inv_diag
 
@@ -468,7 +470,7 @@ def _cg_batch_run(op, B, X0, threshold, max_iters, precondition):
 
     def cond(carry):
         X, R, Pd, rz, k, res = carry
-        return (res > threshold) & (k < max_iters) & jnp.isfinite(res)
+        return jnp.any(res > thresholds) & (k < max_iters) & jnp.all(jnp.isfinite(res))
 
     def body(carry):
         X, R, Pd, rz, k, _ = carry
@@ -481,17 +483,18 @@ def _cg_batch_run(op, B, X0, threshold, max_iters, precondition):
         rz_new = jnp.sum(R * Z, axis=0)
         beta = rz_new / jnp.maximum(rz, 1e-30)
         Pd = Z + beta[None, :] * Pd
-        return X, R, Pd, rz_new, k + 1, jnp.max(col_res(R))
+        return X, R, Pd, rz_new, k + 1, col_res(R)
 
-    carry0 = (X0, R0, P0, rz0, jnp.int32(0), jnp.max(col_res(R0)))
+    carry0 = (X0, R0, P0, rz0, jnp.int32(0), col_res(R0))
     X, R, Pd, rz, k, res = jax.lax.while_loop(cond, body, carry0)
     return X, k, col_res(R)
 
 
 @jax.jit
-def _neumann_batch_run(op, B, X0, threshold, max_iters):
-    """Batched Neumann series over a RHS block — the DD-convergent batch
-    driver for asymmetric systems where plain CG has no guarantee."""
+def _neumann_batch_run(op, B, X0, thresholds, max_iters):
+    """Batched Neumann series over a RHS block with per-column convergence
+    thresholds — the DD-convergent batch driver for asymmetric systems where
+    plain CG has no guarantee."""
     inv_d = op.inv_diag
     diag = op.diag
 
@@ -503,18 +506,18 @@ def _neumann_batch_run(op, B, X0, threshold, max_iters):
 
     def cond(carry):
         X, T, k, res = carry
-        return (res > threshold) & (k < max_iters) & jnp.isfinite(res)
+        return jnp.any(res > thresholds) & (k < max_iters) & jnp.all(jnp.isfinite(res))
 
     def body(carry):
         X, T, k, _ = carry
         AT = op.matmat(T)
         T = -inv_d[:, None] * (AT - diag[:, None] * T)
         X = X + T
-        res = jnp.max(col_res(B - op.matmat(X)))
+        res = col_res(B - op.matmat(X))
         return X, T, k + 1, res
 
     X0n = X0 + T0
-    carry0 = (X0n, T0, jnp.int32(1), jnp.max(col_res(B - op.matmat(X0n))))
+    carry0 = (X0n, T0, jnp.int32(1), col_res(B - op.matmat(X0n)))
     X, T, k, _ = jax.lax.while_loop(cond, body, carry0)
     R = B - op.matmat(X)
     return X, k, col_res(R)
@@ -563,7 +566,17 @@ def solve_batch(
 
     X0 = jnp.zeros_like(B_dev)
     norms = np.linalg.norm(B, axis=0)
-    threshold = float(options.epsilon) * max(float(norms.max()), 1e-30) if options.convergence == "relative" else float(options.epsilon)
+    # Per-column thresholds: eps * ||b_j|| for 'relative', so a column whose
+    # RHS norm is 6 orders of magnitude below its neighbours still meets its
+    # OWN relative tolerance (not eps * max_j ||b_j||). Padding columns get a
+    # huge threshold so they never hold the loop open.
+    if options.convergence == "relative":
+        thr_cols = float(options.epsilon) * np.maximum(norms, 1e-30)
+    else:
+        thr_cols = np.full(nrhs, float(options.epsilon))
+    thr_pad = np.full(B_width, np.finfo(np.float64).max)
+    thr_pad[:nrhs] = thr_cols
+    thresholds = jnp.asarray(thr_pad, op.dtype)
 
     if method == "auto":
         from ..analysis import analyze
@@ -574,9 +587,9 @@ def solve_batch(
         )
     with base.SolveTimer() as t:
         if method == "neumann":
-            X, k, col_res = _neumann_batch_run(op, B_dev, X0, threshold, jnp.int32(options.max_iterations))
+            X, k, col_res = _neumann_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations))
         else:
-            X, k, col_res = _cg_batch_run(op, B_dev, X0, threshold, jnp.int32(options.max_iterations), True)
+            X, k, col_res = _cg_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations), True)
         jax.block_until_ready(X)
 
     X_host = np.asarray(jax.device_get(X), dtype=np.float64)[:n]
@@ -588,7 +601,7 @@ def solve_batch(
                 solution=X_host[:, j],
                 iterations=int(jax.device_get(k)),
                 residual=float(res[j]),
-                converged=bool(res[j] <= threshold * 1.0000001),
+                converged=bool(res[j] <= thr_cols[j] * 1.0000001),
                 method=f"{method}-batch",
                 compute_time_ms=t.ms,
             )

@@ -69,6 +69,24 @@ def test_batch_solve_single_device():
         np.testing.assert_allclose(r.solution, np.linalg.solve(dense, B[:, j]), rtol=1e-3, atol=1e-4)
 
 
+def test_batch_solve_per_column_tolerance():
+    """Columns whose RHS norms span 6 orders of magnitude must EACH meet
+    their own relative tolerance eps*||b_j|| — not just eps*max_j||b_j||
+    (the round-3 behavior this guards against)."""
+    n, eps = 150, 1e-6  # f32 compute: rel-residual floor ~4e-7, so 1e-6 is the honest ask
+    A, _, _ = spd_system(n=n, seed=4)
+    rng = np.random.default_rng(2)
+    scales = np.array([1e-6, 1e-3, 1.0, 1e3, 1e6])
+    B = rng.normal(size=(n, len(scales))) * scales[None, :]
+    for method in ("cg", "neumann"):
+        results = solve_batch(A, B, slt.SolverOptions(epsilon=eps), method=method)
+        for j, r in enumerate(results):
+            bn = np.linalg.norm(B[:, j])
+            assert r.converged, f"{method} col {j} (scale {scales[j]}) not converged"
+            rel = np.linalg.norm(B[:, j] - A.to_dense() @ r.solution) / bn
+            assert rel <= 10 * eps, f"{method} col {j}: relative residual {rel}"
+
+
 def test_batch_solve_sharded(mesh8):
     A, _, _ = spd_system(n=150, seed=2)
     rng = np.random.default_rng(1)

@@ -156,6 +156,80 @@ def test_cost_update_propagates_between_nodes(swarm_server):
         b.disconnect()
 
 
+def test_broadcast_survives_dead_socket(swarm_server):
+    """A node whose socket dies mid-broadcast must not poison the fan-out:
+    the coordinator detaches it and the surviving node still receives the
+    cost update (round-3 weakness: one broken pipe killed the loop)."""
+    from sublinear_tpu.interfaces.swarm import SwarmNode
+
+    addr, swarm = swarm_server
+    received = []
+    a = SwarmNode(f"ws://{addr}/ws/swarm", node_id="alive-a", heartbeat_interval=5)
+    b = SwarmNode(f"ws://{addr}/ws/swarm", node_id="alive-b", heartbeat_interval=5,
+                  on_cost_update=received.append)
+    a.connect()
+    b.connect()
+
+    class DeadWS:  # a socket that breaks the moment it is written to
+        open = True
+
+        def send_json(self, obj):
+            raise OSError("broken pipe")
+
+    try:
+        swarm.register(node_id="dead-node")
+        swarm.attach_ws("dead-node", DeadWS())
+        # dict ordering: dead-node was attached AFTER b, but broadcast must
+        # reach every live node regardless of where the dead one sits
+        a.broadcast_cost_update("sessX", {"indices": [0], "values": [1.0]})
+        assert _wait(lambda: len(received) >= 1, timeout=15), \
+            "surviving node never saw the update"
+        assert _wait(lambda: "dead-node" not in swarm.connections, timeout=10), \
+            "dead socket was not detached"
+        assert swarm.workers["dead-node"].alive is False
+    finally:
+        a.disconnect()
+        b.disconnect()
+
+
+def test_consensus_vote_majority_decision(swarm_server):
+    """run_consensus broadcasts a consensus_request, nodes cast real
+    consensus_vote messages (closing the reference's dead message type,
+    flow-nexus.js:175,246-250), and the coordinator applies a majority rule."""
+    from sublinear_tpu.interfaces.swarm import SwarmNode
+
+    addr, swarm = swarm_server
+    a = SwarmNode(f"ws://{addr}/ws/swarm", node_id="voter-a", heartbeat_interval=5)
+    b = SwarmNode(f"ws://{addr}/ws/swarm", node_id="voter-b", heartbeat_interval=5)
+    nay = SwarmNode(f"ws://{addr}/ws/swarm", node_id="voter-nay",
+                    heartbeat_interval=5, on_consensus=lambda proposal: False)
+    for n in (a, b, nay):
+        n.connect()
+    try:
+        assert _wait(lambda: len(swarm.connections) >= 3, timeout=10)
+        # session-verification policy: give voter-a a real solved session
+        A = slt.generate("tridiagonal", 32)
+        bvec = slt.rhs(32, seed=2)
+        r = slt.solve(A, bvec, method="conjugate-gradient", epsilon=1e-8)
+        a.add_session("csess", A, bvec, r.solution)
+
+        out = swarm.run_consensus({"session_id": "csess", "probe_count": 6,
+                                   "tolerance": 1e-4}, timeout=20)
+        assert out["quorum_met"], out
+        assert out["votes"] == 3
+        assert out["decision"] is True  # 2-1 majority (voter-nay dissents)
+
+        # no majority -> no decision (explicit vote_id, manual votes)
+        a.cast_vote("tie", True)
+        nay.cast_vote("tie", False)
+        assert _wait(lambda: len(swarm.votes.get("tie", [])) >= 2, timeout=10)
+        tie = swarm.decide("tie", quorum=2)
+        assert tie["votes"] == 2 and tie["decision"] is None
+    finally:
+        for n in (a, b, nay):
+            n.disconnect()
+
+
 def test_mcp_swarm_tools_roundtrip():
     """sublinear_solver_stream -> solver_verification -> swarm_cost_propagation
     (reference FlowNexusMCPTools.getToolDefinitions, flow-nexus.js:500-619)."""
