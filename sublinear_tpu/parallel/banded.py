@@ -114,20 +114,9 @@ def _ring_cg_factory(mesh: Mesh, offsets: tuple, h: int):
     return jax.jit(cg_shard)
 
 
-def solve_cg_banded_sharded(
-    matrix: Matrix,
-    b,
-    mesh: Optional[Mesh] = None,
-    options: Optional[SolverOptions] = None,
-    raise_on_fail: bool = True,
-) -> SolverResult:
-    """Distributed Jacobi-preconditioned CG with O(bandwidth) comm/iteration.
-
-    Requires a DIA-representable matrix (formats/dia.py dia_offsets); raises
-    InvalidMatrixError otherwise — callers with general sparsity use
-    solve_cg_sharded (split-block all_gather halo)."""
-    options = options or SolverOptions()
-    mesh = mesh or mesh_mod.make_mesh()
+def _ring_program(matrix: Matrix, b, mesh: Mesh, options: SolverOptions):
+    """Build the ring-CG program + concrete device args for (matrix, b, mesh).
+    Shared by the solver and the HLO-inspection path."""
     D = int(mesh.shape[ROWS])
     n = matrix.shape[0]
 
@@ -160,24 +149,57 @@ def solve_cg_banded_sharded(
     fn = _RING_CACHE.get(key)
     if fn is None:
         fn = _RING_CACHE.put(key, _ring_cg_factory(mesh, offsets, h))
+    args = (
+        jax.device_put(data, dia_sh),
+        jax.device_put(inv_diag, vec_sh),
+        jax.device_put(b_full, vec_sh),
+        jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh),
+        jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
+    )
+    meta = {"D": D, "h": h, "n_pad": n_pad, "ndiags": data.shape[0],
+            "dtype": op.dtype, "threshold": threshold}
+    return fn, args, meta
+
+
+def lower_ring_cg_text(matrix: Matrix, b, mesh: Optional[Mesh] = None,
+                       options: Optional[SolverOptions] = None) -> str:
+    """Optimized-HLO text of the compiled ring CG — lets tests assert the
+    halo exchange is collective-permute-only (no all-gather)."""
+    options = options or SolverOptions()
+    mesh = mesh or mesh_mod.make_mesh()
+    fn, args, _ = _ring_program(matrix, b, mesh, options)
+    return fn.lower(*args).compile().as_text()
+
+
+def solve_cg_banded_sharded(
+    matrix: Matrix,
+    b,
+    mesh: Optional[Mesh] = None,
+    options: Optional[SolverOptions] = None,
+    raise_on_fail: bool = True,
+) -> SolverResult:
+    """Distributed Jacobi-preconditioned CG with O(bandwidth) comm/iteration.
+
+    Requires a DIA-representable matrix (formats/dia.py dia_offsets); raises
+    InvalidMatrixError otherwise — callers with general sparsity use
+    solve_cg_sharded (split-block all_gather halo)."""
+    options = options or SolverOptions()
+    mesh = mesh or mesh_mod.make_mesh()
+    fn, args, meta = _ring_program(matrix, b, mesh, options)
+    D, h, n_pad = meta["D"], meta["h"], meta["n_pad"]
+    threshold = meta["threshold"]
     with base.SolveTimer() as t:
-        x, k, res = fn(
-            jax.device_put(data, dia_sh),
-            jax.device_put(inv_diag, vec_sh),
-            jax.device_put(b_full, vec_sh),
-            jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh),
-            jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
-        )
+        x, k, res = fn(*args)
         jax.block_until_ready(x)
 
     result = base.finalize(
         matrix, x, k, res, "cg-sharded-ring", options, t.ms,
         matvec_count=int(jax.device_get(k)) + 1,
     )
-    itemsize = np.dtype(op.dtype).itemsize
+    itemsize = np.dtype(meta["dtype"]).itemsize
     result.distribution = {
         "shards": D,
-        "bytes_per_shard": int(data.shape[0] * (n_pad // D) * itemsize
+        "bytes_per_shard": int(meta["ndiags"] * (n_pad // D) * itemsize
                                + 4 * (n_pad // D) * itemsize),
         "comm_bytes_per_iter": int(2 * h * itemsize),  # two ppermute slabs
         "halo_rows": int(h),

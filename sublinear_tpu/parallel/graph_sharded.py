@@ -140,30 +140,59 @@ def solve_push_sharded(
 
 # --------------------------------------------------------------- pagerank
 
-def pagerank_sharded(
-    adjacency: Matrix,
-    mesh: Optional[Mesh] = None,
-    alpha: float = 0.85,
-    epsilon: float = 1e-6,
-    max_iterations: int = 1000,
-    personalization=None,
-):
-    """Row-sharded PageRank power iteration x <- (1-a) v + a (P^T x + d v).
+def _pagerank_factory(mesh: Mesh):
+    """shard_map PageRank power-iteration program: one split-SpMV all_gather
+    + dangling-mass/residual psums per iteration."""
 
-    The column-stochastic P^T is built host-side (out-degree normalization,
-    graph/pagerank.py semantics) and row-partitioned; each iteration is one
-    split SpMV (all_gather overlapped with the local block) plus a psum for
-    the dangling mass."""
-    from ..graph.pagerank import PageRankResult, _transition_matrix
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(
+            P(None, ROWS), P(None, ROWS), P(None, ROWS), P(None, ROWS),
+            P(ROWS), P(ROWS), P(ROWS),
+            P(ROWS), P(ROWS), P(ROWS),
+            P(), P(), P(),
+        ),
+        out_specs=(P(ROWS), P(), P()),
+        check_vma=False,
+    )
+    def pr_shard(vl, cl, vr, cr, tv, tr, tc, v_l, d_l, x0_l,
+                 alpha, threshold, max_iters):
+        def step(x_l):
+            dmass = jax.lax.psum(jnp.vdot(d_l, x_l), ROWS)
+            y_l = _split_matvec(vl, cl, vr, cr, tv, tr, tc, x_l)
+            return (1.0 - alpha) * v_l + alpha * (y_l + dmass * v_l)
 
-    mesh = mesh or mesh_mod.make_mesh()
+        def cond(carry):
+            x_l, k, res = carry
+            return (res > threshold) & (k < max_iters) & jnp.isfinite(res)
+
+        def body(carry):
+            x_l, k, _ = carry
+            x_new = step(x_l)
+            res = jax.lax.psum(jnp.sum(jnp.abs(x_new - x_l)), ROWS)
+            return x_new, k + 1, res
+
+        x_l, k, res = jax.lax.while_loop(
+            cond, body, (x0_l, jnp.int32(0), jnp.asarray(1e30, x0_l.dtype)))
+        return x_l, k, res
+
+    return jax.jit(pr_shard)
+
+
+def _pagerank_program(adjacency: Matrix, mesh: Mesh, alpha, epsilon,
+                      max_iterations, personalization):
+    """Operator + device args + cached program for sharded PageRank."""
+    from ..graph.pagerank import _transition_matrix
+
     n = adjacency.shape[0]
     PT = _transition_matrix(adjacency)
     op = shard_operator_split(PT, mesh)
 
-    out_deg = np.asarray(adjacency.csr.row_nnz(), np.float64)
-    row_sums = np.zeros(op.n_pad)
-    row_sums[:n] = out_deg
+    # weighted out-degree, matching graph/pagerank.py:107-111 — a node is
+    # dangling when its outgoing WEIGHT sums to zero, not when it has no
+    # stored entries (row_nnz would disagree on weighted graphs)
+    out_deg = np.zeros(n)
+    np.add.at(out_deg, adjacency.csr.row_of_entry(), adjacency.csr.data)
     dangling = np.zeros(op.n_pad)
     dangling[:n] = (out_deg == 0).astype(np.float64)
 
@@ -182,45 +211,45 @@ def pagerank_sharded(
     key = _mesh_key(mesh, "pagerank")
     fn = _FN_CACHE.get(key)
     if fn is None:
-        @functools.partial(
-            shard_map, mesh=mesh,
-            in_specs=(
-                P(None, ROWS), P(None, ROWS), P(None, ROWS), P(None, ROWS),
-                P(ROWS), P(ROWS), P(ROWS),
-                P(ROWS), P(ROWS), P(ROWS),
-                P(), P(), P(),
-            ),
-            out_specs=(P(ROWS), P(), P()),
-            check_vma=False,
-        )
-        def pr_shard(vl, cl, vr, cr, tv, tr, tc, v_l, d_l, x0_l,
-                     alpha, threshold, max_iters):
-            def step(x_l):
-                dmass = jax.lax.psum(jnp.vdot(d_l, x_l), ROWS)
-                y_l = _split_matvec(vl, cl, vr, cr, tv, tr, tc, x_l)
-                return (1.0 - alpha) * v_l + alpha * (y_l + dmass * v_l)
+        fn = _FN_CACHE.put(key, _pagerank_factory(mesh))
+    args = (op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+            op.tail_vals, op.tail_rows, op.tail_cols,
+            v_l, d_l, x0,
+            jnp.asarray(alpha, op.dtype), jnp.asarray(epsilon, op.dtype),
+            jnp.int32(max_iterations))
+    return fn, args, op
 
-            def cond(carry):
-                x_l, k, res = carry
-                return (res > threshold) & (k < max_iters) & jnp.isfinite(res)
 
-            def body(carry):
-                x_l, k, _ = carry
-                x_new = step(x_l)
-                res = jax.lax.psum(jnp.sum(jnp.abs(x_new - x_l)), ROWS)
-                return x_new, k + 1, res
+def lower_pagerank_text(adjacency: Matrix, mesh: Optional[Mesh] = None,
+                        alpha: float = 0.85, epsilon: float = 1e-6) -> str:
+    """Optimized-HLO text of the compiled sharded PageRank (for the
+    collective-count regression tests)."""
+    mesh = mesh or mesh_mod.make_mesh()
+    fn, args, _ = _pagerank_program(adjacency, mesh, alpha, epsilon, 100, None)
+    return fn.lower(*args).compile().as_text()
 
-            x_l, k, res = jax.lax.while_loop(
-                cond, body, (x0_l, jnp.int32(0), jnp.asarray(1e30, x0_l.dtype)))
-            return x_l, k, res
 
-        fn = _FN_CACHE.put(key, jax.jit(pr_shard))
+def pagerank_sharded(
+    adjacency: Matrix,
+    mesh: Optional[Mesh] = None,
+    alpha: float = 0.85,
+    epsilon: float = 1e-6,
+    max_iterations: int = 1000,
+    personalization=None,
+):
+    """Row-sharded PageRank power iteration x <- (1-a) v + a (P^T x + d v).
 
-    x, k, res = fn(op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
-                   op.tail_vals, op.tail_rows, op.tail_cols,
-                   v_l, d_l, x0,
-                   jnp.asarray(alpha, op.dtype), jnp.asarray(epsilon, op.dtype),
-                   jnp.int32(max_iterations))
+    The column-stochastic P^T is built host-side (out-degree normalization,
+    graph/pagerank.py semantics) and row-partitioned; each iteration is one
+    split SpMV (all_gather overlapped with the local block) plus a psum for
+    the dangling mass."""
+    from ..graph.pagerank import PageRankResult
+
+    mesh = mesh or mesh_mod.make_mesh()
+    n = adjacency.shape[0]
+    fn, args, op = _pagerank_program(adjacency, mesh, alpha, epsilon,
+                                     max_iterations, personalization)
+    x, k, res = fn(*args)
     scores = np.asarray(jax.device_get(x), np.float64)[:n]
     s = scores.sum()
     if s > 0:

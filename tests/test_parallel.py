@@ -320,6 +320,28 @@ def test_sharded_pagerank_matches_single(mesh8):
     np.testing.assert_allclose(multi.scores, single.scores, rtol=1e-3, atol=1e-6)
 
 
+def test_sharded_pagerank_weighted_dangling(mesh8):
+    """Weighted graph + dangling nodes: the sharded dangling mass must come
+    from the WEIGHTED out-degree (graph/pagerank.py:107-111 semantics), not
+    the stored-entry count — they disagree on weighted graphs."""
+    from sublinear_tpu.graph.pagerank import pagerank
+    from sublinear_tpu.parallel.graph_sharded import pagerank_sharded
+
+    n = 220
+    rng = np.random.default_rng(12)
+    rows, cols, vals = [], [], []
+    for i in range(n - 15):  # last 15 nodes dangling
+        for j in rng.choice(n, size=int(rng.integers(1, 6)), replace=False):
+            rows.append(i)
+            cols.append(int(j))
+            vals.append(float(rng.uniform(0.1, 2.0)))
+    A = slt.Matrix.from_coo(np.array(rows), np.array(cols), np.array(vals), (n, n))
+    single = pagerank(A, damping=0.85, epsilon=1e-8)
+    multi = pagerank_sharded(A, mesh=mesh8, alpha=0.85, epsilon=1e-8)
+    assert multi.converged and single.converged
+    np.testing.assert_allclose(multi.scores, single.scores, rtol=1e-3, atol=1e-6)
+
+
 def test_sharded_walkers_all_to_all(mesh8):
     from sublinear_tpu.parallel.graph_sharded import walk_estimate_sharded
 
