@@ -96,6 +96,44 @@ def main():
         "ms_per_iter": round(td * 1e3 / max(itd, 1), 3),
     })
 
+    # walker engine: FIXED global walker count, growing D.  Per-device work
+    # is O(W/D) after the owner re-bucketing rewrite, so on the virtual mesh
+    # (all shards share one host) TOTAL simulated work is constant and wall
+    # time stays flat-to-falling as D grows; the round-3 broadcast engine's
+    # total work grew linearly in D.  Comm bytes logged beside the times.
+    import numpy as np
+
+    from sublinear_tpu.parallel.graph_sharded import walk_estimate_sharded
+
+    def run_walk(n_devices: int):
+        mesh = make_mesh(jax.devices()[:n_devices], shape=(n_devices, 1))
+        A = slt.Matrix(slt.generate("tridiagonal", 4096).csr.add_diagonal(0.5))
+        b = slt.rhs(4096, seed=2)
+        opts = slt.SolverOptions(epsilon=5e-2, num_walks=16384, seed=5,
+                                 max_walk_length=48)
+        targets = np.arange(8)
+        est, steps, stats = walk_estimate_sharded(
+            A, b, targets, mesh=mesh, options=opts, return_stats=True)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            walk_estimate_sharded(A, b, targets, mesh=mesh, options=opts)
+            times.append(time.perf_counter() - t0)
+        return min(times), steps, stats
+
+    d = 1
+    while d <= args.devices:
+        td, steps, stats = run_walk(d)
+        results.append({
+            "devices": d, "mode": "walkers", "seconds": td,
+            "wall_steps": steps,
+            "ms_per_step": round(td * 1e3 / max(steps, 1), 3),
+            "walkers_per_device": stats["walkers_per_device"],
+            "queries_per_device_per_step": stats["queries_per_device_per_step"],
+            "comm_bytes_per_device_per_step": stats["comm_bytes_per_device_per_step"],
+        })
+        d *= 2
+
     for r in results:
         print(json.dumps(r))
 

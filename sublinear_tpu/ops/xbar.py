@@ -197,6 +197,94 @@ def _k1_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int):
     )
 
 
+FUSED_O2T_CAP = 64 * 1024 * 1024  # VMEM-resident o2t budget (v5e holds >=100MB)
+
+
+def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
+                Cb_pad: int):
+    """BOTH crossbar kernels in ONE pallas_call with the o2t intermediate in
+    VMEM scratch — the (write+read) HBM round-trip of o2t was 59% of the
+    matvec's 43.7 MB traffic and the two separate kernels ran at the SUM of
+    their floors (no overlap).  A single sequential grid runs the Bs//G
+    source-block steps first (filling the scratch), then the Bd//8 dest-block
+    steps (draining it into y); input-block DMAs pipeline across the phase
+    boundary for free.  Requires Cb_pad <= 8 and o2t under FUSED_O2T_CAP
+    (large-n shapes fall back to the 2-kernel HBM path)."""
+    bw = banks * 128
+    G = _k1_group(Bs)
+    P1 = Bs // G
+    G2 = 8
+    P2 = Bd // G2
+
+    def kernel(x_ref, is_ref, vs_ref, i2_ref, i3_ref, y_ref, o_scr):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            y_ref[:] = jnp.zeros_like(y_ref)
+
+        @pl.when(i < P1)
+        def _():
+            for g in range(G):
+                sb = i * G + g
+                h0 = (sb % cb_s) * 128
+                xb = x_ref[pl.ds(h0, 128), :]
+                idx = is_ref[g * 128:(g + 1) * 128, :].astype(jnp.int32)
+                prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[g * 128:(g + 1) * 128, :]
+                t1 = prod.T                                   # (ds, ss)
+                for t in range(banks):
+                    it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128].astype(jnp.int32)
+                    o2b = jnp.take_along_axis(t1, it, axis=1)  # (ds, db')
+                    w = min(128, Bd - t * 128)
+                    o_scr[pl.ds(sb, 1), pl.ds(t * 128, w), :] = o2b.T[:w][None]
+
+        @pl.when(i >= P1)
+        def _():
+            j2 = i - P1
+            for ii in range(G2):
+                db = j2 * G2 + ii
+                k = db // Cb_pad
+                jrow = (ii % Cb_pad) * 128      # db%Cb_pad == ii%Cb_pad (Cb_pad | 8)
+                s_k = (k * ROT) % 128
+                m = o_scr[:, pl.ds(db, 1), :].reshape(Bs, 128)
+                mp = pltpu.roll(m, -s_k, 1)
+                mt = mp.T                                      # (dsr, Bs)
+                if Bs < 128:
+                    mt = jnp.concatenate(
+                        [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
+                i3 = i3_ref[ii * 128:(ii + 1) * 128, :].astype(jnp.int32)
+                o3 = jnp.take_along_axis(mt, i3, axis=1)       # (dsr, rl)
+                y_ref[jrow:jrow + 128, :] += o3
+
+    o2t_bytes = Bs * Bd * 128 * 4
+    return pl.pallas_call(
+        kernel,
+        grid=(P1 + P2,),
+        in_specs=[
+            pl.BlockSpec((C_src, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 128, 128), lambda i: (jnp.minimum(i, P1 - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 128, 128), lambda i: (jnp.minimum(i, P1 - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G * 128, bw), lambda i: (jnp.minimum(i, P1 - 1), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((G2 * 128, 128), lambda i: (jnp.maximum(i - P1, 0), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Cb_pad * 128, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Cb_pad * 128, 128), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((Bs, Bd, 128), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(o2t_bytes + 12 * 1024 * 1024,
+                                 100 * 1024 * 1024),
+        ),
+        interpret=_interpret(),
+    )
+
+
 def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
     """Fused rotate+T2+G3+K-sum: (o2t, idx3) -> y2d (Rr_pad, 128)."""
     small = Cb_pad <= 8
@@ -318,18 +406,30 @@ class XbarOperator:
         return self._nnz
 
     @property
+    def fused(self) -> bool:
+        """True when the matvec runs as ONE kernel with o2t in VMEM scratch
+        (small/medium shapes); large shapes spill o2t through HBM."""
+        return (self.Cb_pad <= 8 and self.Bd % 8 == 0
+                and self.Bs * self.Bd * 128 * 4 <= FUSED_O2T_CAP)
+
+    @property
     def hbm_bytes_per_matvec(self) -> int:
         """Bytes moved per matvec (for roofline accounting)."""
-        o2t = self.Bs * self.Bd * 128 * 4
+        o2t = 0 if self.fused else self.Bs * self.Bd * 128 * 4
         return (self.idx_src.size + self.idx2.size + self.idx3.size
                 + self.val_src.size * 4 + 2 * o2t
                 + self.m_pad * 4 + self.n_pad * 4 + self.tail_nnz * 12)
 
     def matvec(self, x: jax.Array) -> jax.Array:
         x2d = x.astype(jnp.float32).reshape(self.C_src, 128)
-        o2t = _k1_call(self.C_src, self.Bs, self.Bd, self.banks,
-                       self.cb_s)(x2d, self.idx_src, self.val_src, self.idx2)
-        y2d = _k2_call(self.Bs, self.Bd, self.K, self.Cb_pad)(o2t, self.idx3)
+        if self.fused:
+            y2d = _fused_call(self.C_src, self.Bs, self.Bd, self.banks,
+                              self.cb_s, self.Cb_pad)(
+                x2d, self.idx_src, self.val_src, self.idx2, self.idx3)
+        else:
+            o2t = _k1_call(self.C_src, self.Bs, self.Bd, self.banks,
+                           self.cb_s)(x2d, self.idx_src, self.val_src, self.idx2)
+            y2d = _k2_call(self.Bs, self.Bd, self.K, self.Cb_pad)(o2t, self.idx3)
         y = y2d.reshape(-1)[:self.n_pad].astype(x.dtype)
         if self.tail_nnz:
             y = y + spmv.coo_matvec(self.tail_vals.astype(x.dtype),

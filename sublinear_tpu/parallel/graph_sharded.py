@@ -264,10 +264,26 @@ def pagerank_sharded(
 
 # ------------------------------------------------------------------ walks
 
+def _walk_capacity(W_l: int, D: int) -> int:
+    """Per-destination query capacity: ~2x the balanced load, lane-aligned.
+    Walkers that miss their bucket simply wait one step (overflow carry)."""
+    return max(128, -(-2 * W_l // (D * 128)) * 128)
+
+
 def _walk_factory(mesh: Mesh, max_len: int, W_l: int):
-    """Sharded walker engine: two all_to_alls per step (queries to the node
-    owner, transition results back to the walker's home shard)."""
+    """Sharded walker engine with TRUE owner re-bucketing: each step every
+    home shard packs its active walkers into per-destination slabs of fixed
+    capacity C ~= 2*W_l/D, all_to_alls the (D, C) query buffer to the node
+    owners, and gets answers back in the same slots.  Per-device compute and
+    comm are O(D*C) = O(W_l) REGARDLESS of how the walkers distribute, and
+    both FALL as D grows at fixed global W — unlike the round-3 engine that
+    broadcast every walker to every shard (O(W) per device, no scaling).
+    Walkers that overflow their destination slab wait one step and retry —
+    unbiased (the transition is Markov; the discarded uniform is never used),
+    just one step slower for the tail.  Reference semantics:
+    /root/reference/src/solver/random_walk.rs:65-140."""
     D = int(mesh.shape[ROWS])
+    C = _walk_capacity(W_l, D)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -295,7 +311,7 @@ def _walk_factory(mesh: Mesh, max_len: int, W_l: int):
 
         def owner_step(pos_q, u_q):
             """Transition for query walkers whose node THIS shard owns.
-            pos_q: (D*W_l,) global node ids (may be foreign: masked out)."""
+            pos_q: (D*C,) global node ids (-1 = empty slot, masked out)."""
             loc = pos_q - me * Sh
             mine = (loc >= 0) & (loc < Sh)
             loc = jnp.clip(loc, 0, Sh - 1)
@@ -313,36 +329,48 @@ def _walk_factory(mesh: Mesh, max_len: int, W_l: int):
                     jnp.where(mine, s_here, z))
 
         def body(carry):
-            pos, w, acc, t, key = carry
+            pos, w, acc, steps, t, key = carry
             key, sub = jax.random.split(key)
             u = jax.random.uniform(sub, (W_l,), dt)
-            # bucket walkers by owner shard: sort-free scatter via all_to_all
-            # of FULL per-destination slabs (each dest gets every walker slot;
-            # it masks to the ones it owns) — static shapes, no overflow.
-            pos_q = a2a(jnp.tile(pos, (D,)))          # (D*W_l,) queries at owner
-            u_q = a2a(jnp.tile(u, (D,)))
+            active = jnp.abs(w) > w_min
+            dest = jnp.clip(pos // Sh, 0, D - 1)
+            # rank of each walker within its destination bucket (stable,
+            # computed with one (W_l, D) one-hot cumsum — no sort)
+            oh = ((dest[:, None] == jnp.arange(D)[None, :]) & active[:, None]
+                  ).astype(jnp.int32)
+            rank = jnp.take_along_axis(jnp.cumsum(oh, axis=0) - oh,
+                                       dest[:, None], axis=1)[:, 0]
+            sent = active & (rank < C)
+            slot = dest * C + jnp.minimum(rank, C - 1)
+            drop_to = jnp.where(sent, slot, D * C)  # OOB index -> dropped
+            buf_pos = jnp.full((D * C,), -1, jnp.int32).at[drop_to].set(
+                pos, mode="drop")
+            buf_u = jnp.zeros((D * C,), dt).at[drop_to].set(u, mode="drop")
+            # queries ride to the owner shard; answers come back in the SAME
+            # slots (all_to_all slab s <-> shard s in both directions)
+            pos_q = a2a(buf_pos)
+            u_q = a2a(buf_u)
             nxt_q, wf_q, c_q, s_q = owner_step(pos_q, u_q)
-            # route answers home: reverse all_to_all; sum over owner slabs
-            # (exactly one owner produced a nonzero answer per walker)
-            def back(x):
-                return a2a(x).reshape(D, W_l).sum(axis=0)
-            nxt = back(nxt_q.astype(dt)).astype(jnp.int32)
-            w_fac = back(wf_q)
-            c_here = back(c_q)
-            s_here = back(s_q)
-            acc = acc + w * c_here
-            w = jnp.where(s_here > 0, w * w_fac, 0.0)
-            pos = jnp.where(s_here > 0, nxt, pos)
-            return pos, w, acc, t + 1, key
+            nxt = jnp.take(a2a(nxt_q), slot)
+            w_fac = jnp.take(a2a(wf_q), slot)
+            c_here = jnp.take(a2a(c_q), slot)
+            s_here = jnp.take(a2a(s_q), slot)
+            acc = acc + jnp.where(sent, w * c_here, 0.0)
+            w = jnp.where(sent, jnp.where(s_here > 0, w * w_fac, 0.0), w)
+            pos = jnp.where(sent & (s_here > 0), nxt, pos)
+            steps = steps + sent.astype(jnp.int32)
+            w = jnp.where(steps >= max_len, jnp.zeros_like(w), w)
+            return pos, w, acc, steps, t + 1, key
 
         def cond(carry):
-            pos, w, acc, t, key = carry
+            pos, w, acc, steps, t, key = carry
             alive = jax.lax.psum(jnp.sum((jnp.abs(w) > w_min).astype(jnp.int32)), ROWS)
-            return (t < max_len) & (alive > 0)
+            # 2*max_len wall-step safety: overflow waits stretch wall time
+            return (t < 2 * max_len) & (alive > 0)
 
         carry0 = (starts_l, jnp.ones(W_l, dt), jnp.zeros(W_l, dt),
-                  jnp.int32(0), key0)
-        pos, w, acc, t, _ = jax.lax.while_loop(cond, body, carry0)
+                  jnp.zeros(W_l, jnp.int32), jnp.int32(0), key0)
+        pos, w, acc, steps, t, _ = jax.lax.while_loop(cond, body, carry0)
         return acc, t
 
     return jax.jit(walk_shard)
@@ -354,13 +382,17 @@ def walk_estimate_sharded(
     start_nodes,
     mesh: Optional[Mesh] = None,
     options: Optional[SolverOptions] = None,
+    return_stats: bool = False,
 ):
     """Monte-Carlo estimates of x[start_nodes] with mesh-sharded walkers.
 
-    Walkers are home-sharded by start node; every step re-buckets them to the
-    owner shard of their current node via all_to_all (queries + answers).
+    Walkers are home-sharded by start node; every step re-buckets them into
+    fixed-capacity per-owner slabs exchanged via all_to_all (queries +
+    answers), so per-device compute AND comm are O(W/D) — see _walk_factory.
     Sampling tables and the local source term c = D^-1 b are row-sharded, so
-    per-chip memory is O(nnz/D), unlike the single-chip engine."""
+    per-chip memory is O(nnz/D), unlike the single-chip engine.
+    With ``return_stats`` a third element reports the per-step comm bytes and
+    per-device query load for scaling studies."""
     from ..config import LANE, round_up
     from ..solvers.random_walk import sampling_tables, default_num_walks
 
@@ -411,6 +443,18 @@ def walk_estimate_sharded(
     )
     acc_h = np.asarray(jax.device_get(acc), np.float64) * weights
     est = acc_h[: reps.size].reshape(starts.size, walks_per).mean(axis=1)
+    if return_stats:
+        C = _walk_capacity(W_l, D)
+        itemsize = np.dtype(op.dtype).itemsize
+        stats = {
+            "shards": D,
+            "walkers_per_device": W_l,
+            "bucket_capacity": C,
+            "queries_per_device_per_step": D * C,
+            # forward: pos (i32) + u; backward: 4 answer arrays
+            "comm_bytes_per_device_per_step": D * C * (4 + 5 * itemsize),
+        }
+        return est, int(jax.device_get(t)), stats
     return est, int(jax.device_get(t))
 
 
@@ -422,11 +466,16 @@ def bmssp_sharded(
     source_values=None,
     mesh: Optional[Mesh] = None,
     bound: float = None,
+    return_stats: bool = False,
 ):
     """Distributed bounded multi-source shortest paths (BMSSP): in-edge
-    tables row-sharded by target node; each bulk Bellman-Ford sweep
-    all_gathers the distance/source-value vectors and relaxes locally; the
-    convergence flag is a psum-any.  Reference: src/bmssp.rs:93-166."""
+    tables row-sharded by target node; each shard keeps a replica of the
+    distance/source-value vectors and every bulk Bellman-Ford sweep exchanges
+    only a COMPRESSED FRONTIER — up to F changed (row, dist, srcval) triplets
+    per shard in a fixed-size all_gather — instead of the round-3 full O(n)
+    vector gather.  Overflow beyond F stays pending and republishes next
+    sweep (monotone relaxation keeps this exact).  The convergence flag is a
+    psum-any.  Reference: src/bmssp.rs:93-166."""
     from ..config import LANE, round_up
     from ..solvers.bmssp import INF, MAX_SWEEPS, in_edge_tables
 
@@ -448,51 +497,87 @@ def bmssp_sharded(
     dist0[sources] = 0.0
     srcval0[sources] = vals
 
-    key = _mesh_key(mesh, "bmssp")
+    Sh = n_pad // D
+    # compressed-frontier slab: each sweep publishes at most F improved rows
+    # per shard (index + distance + source value) via a fixed-size all_gather
+    # instead of the full O(n) vectors; improvements beyond F stay pending
+    # and republish next sweep (monotone relaxation -> still exact).
+    F = min(Sh, max(128, -(-Sh // 8 // 128) * 128))
+    key = _mesh_key(mesh, "bmssp", n_pad)
     fn = _FN_CACHE.get(key)
     if fn is None:
         @functools.partial(
             shard_map, mesh=mesh,
-            in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS), P()),
+            in_specs=(P(ROWS, None), P(ROWS, None), P(), P(), P()),
             out_specs=(P(ROWS), P(ROWS), P()),
             check_vma=False,
         )
-        def bmssp_shard(srcs_l, costs_l, dist_l, srcval_l, bound):
+        def bmssp_shard(srcs_l, costs_l, dist_rep, srcval_rep, bound):
+            me = jax.lax.axis_index(ROWS)
+
             def cond(carry):
-                dist_l, srcval_l, changed, sweeps = carry
+                dist_rep, srcval_rep, changed, sweeps = carry
                 any_changed = jax.lax.psum(changed.astype(jnp.int32), ROWS) > 0
                 return any_changed & (sweeps < MAX_SWEEPS)
 
             def body(carry):
-                dist_l, srcval_l, _, sweeps = carry
-                dist = jax.lax.all_gather(dist_l, ROWS, tiled=True)
-                srcval = jax.lax.all_gather(srcval_l, ROWS, tiled=True)
-                cand = jnp.take(dist, srcs_l, axis=0) + costs_l
+                dist_rep, srcval_rep, _, sweeps = carry
+                cand = jnp.take(dist_rep, srcs_l, axis=0) + costs_l
                 k_best = jnp.argmin(cand, axis=1)
                 best = jnp.take_along_axis(cand, k_best[:, None], axis=1)[:, 0]
-                improved = (best < dist_l) & (best <= bound)
-                sv_cand = jnp.take(srcval, srcs_l, axis=0)
+                dist_own = jax.lax.dynamic_slice(dist_rep, (me * Sh,), (Sh,))
+                improved = (best < dist_own) & (best <= bound)
+                sv_cand = jnp.take(srcval_rep, srcs_l, axis=0)
                 sv_best = jnp.take_along_axis(sv_cand, k_best[:, None], axis=1)[:, 0]
-                dist_l = jnp.where(improved, best, dist_l)
-                srcval_l = jnp.where(improved, sv_best, srcval_l)
-                return dist_l, srcval_l, jnp.any(improved), sweeps + 1
+                # pack up to F improved rows into the publish slab; slot F
+                # (out of bounds) swallows overflow + non-improved rows
+                iint = improved.astype(jnp.int32)
+                rank = jnp.cumsum(iint) - iint
+                pub = improved & (rank < F)
+                to = jnp.where(pub, jnp.minimum(rank, F - 1), F)
+                rows_gl = (me * Sh + jnp.arange(Sh)).astype(jnp.int32)
+                idx_slab = jnp.full((F,), n_pad, jnp.int32).at[to].set(
+                    rows_gl, mode="drop")
+                d_slab = jnp.zeros((F,), best.dtype).at[to].set(best, mode="drop")
+                sv_slab = jnp.zeros((F,), sv_best.dtype).at[to].set(
+                    sv_best, mode="drop")
+                idx_all = jax.lax.all_gather(idx_slab, ROWS, tiled=True)
+                d_all = jax.lax.all_gather(d_slab, ROWS, tiled=True)
+                sv_all = jax.lax.all_gather(sv_slab, ROWS, tiled=True)
+                # every row is owned by exactly one shard -> indices unique;
+                # sentinel n_pad is out of bounds and dropped
+                dist_rep = dist_rep.at[idx_all].set(d_all, mode="drop")
+                srcval_rep = srcval_rep.at[idx_all].set(sv_all, mode="drop")
+                return dist_rep, srcval_rep, jnp.any(improved), sweeps + 1
 
-            dist_l, srcval_l, _, sweeps = jax.lax.while_loop(
-                cond, body, (dist_l, srcval_l, jnp.bool_(True), jnp.int32(0)))
+            dist_rep, srcval_rep, _, sweeps = jax.lax.while_loop(
+                cond, body, (dist_rep, srcval_rep, jnp.bool_(True), jnp.int32(0)))
+            dist_l = jax.lax.dynamic_slice(dist_rep, (me * Sh,), (Sh,))
+            srcval_l = jax.lax.dynamic_slice(srcval_rep, (me * Sh,), (Sh,))
             return dist_l, srcval_l, sweeps
 
         fn = _FN_CACHE.put(key, jax.jit(bmssp_shard))
 
-    vec_sh = NamedSharding(mesh, P(ROWS))
     ell_sh = NamedSharding(mesh, P(ROWS, None))
+    rep_sh = NamedSharding(mesh, P())
     put = jax.device_put
     dt = costs.dtype
     dist, srcval, sweeps = fn(
         put(srcs, ell_sh), put(costs, ell_sh),
-        put(jnp.asarray(dist0, dt), vec_sh), put(jnp.asarray(srcval0, dt), vec_sh),
+        put(jnp.asarray(dist0, dt), rep_sh), put(jnp.asarray(srcval0, dt), rep_sh),
         jnp.asarray(bound, dt),
     )
     dist_h = np.asarray(jax.device_get(dist), np.float64)
     srcval_h = np.asarray(jax.device_get(srcval), np.float64)
     x = np.where(dist_h < INF * 0.5, srcval_h / (1.0 + dist_h), 0.0)
-    return dist_h[:n], x[:n], int(jax.device_get(sweeps))
+    n_sweeps = int(jax.device_get(sweeps))
+    if return_stats:
+        itemsize = np.dtype(dt).itemsize
+        stats = {
+            "shards": D,
+            "frontier_capacity": F,
+            "comm_bytes_per_sweep": D * F * (4 + 2 * itemsize),
+            "full_gather_bytes_per_sweep": 2 * n_pad * itemsize,  # round-3 cost
+        }
+        return dist_h[:n], x[:n], n_sweeps, stats
+    return dist_h[:n], x[:n], n_sweeps

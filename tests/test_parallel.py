@@ -354,6 +354,33 @@ def test_sharded_walkers_all_to_all(mesh8):
     assert np.abs(est - x_ref[:8]).max() < 0.5 * max(1.0, np.abs(x_ref).max())
 
 
+def test_sharded_walkers_compute_scale(mesh8):
+    """Owner re-bucketing: per-device query load and comm bytes must FALL as
+    D grows at fixed global walker count (the round-3 broadcast engine was
+    O(W) per device at every D), while the estimate stays correct."""
+    from sublinear_tpu.parallel.graph_sharded import walk_estimate_sharded
+
+    A, b, x_ref = spd_system(n=512, seed=11)
+    opts = slt.SolverOptions(epsilon=5e-2, num_walks=16384, seed=7,
+                             max_walk_length=64)
+    loads = {}
+    for d in (2, 8):
+        mesh = make_mesh(jax.devices()[:d], shape=(d, 1))
+        est, steps, stats = walk_estimate_sharded(
+            A, b, np.arange(6), mesh=mesh, options=opts, return_stats=True)
+        assert np.all(np.isfinite(est))
+        assert np.abs(est - x_ref[:6]).max() < 0.5 * max(1.0, np.abs(x_ref).max())
+        loads[d] = stats
+    # 4x the devices -> per-device walker count drops 4x; query and comm
+    # load per device must drop accordingly (bucket capacity is ~2*W_l/D,
+    # lane-aligned, so allow the 128-slot floor)
+    assert loads[8]["walkers_per_device"] * 4 == loads[2]["walkers_per_device"]
+    assert (loads[8]["queries_per_device_per_step"]
+            < loads[2]["queries_per_device_per_step"])
+    assert (loads[8]["comm_bytes_per_device_per_step"]
+            < loads[2]["comm_bytes_per_device_per_step"])
+
+
 def test_sharded_bmssp_matches_single(mesh8):
     from sublinear_tpu.parallel.graph_sharded import bmssp_sharded
     from sublinear_tpu.solvers.bmssp import shortest_paths
@@ -365,6 +392,38 @@ def test_sharded_bmssp_matches_single(mesh8):
     np.testing.assert_allclose(dist_m[:n], dist_s[:n], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(x_m[:n], x_s[:n], rtol=1e-4, atol=1e-5)
     assert sweeps > 0
+
+
+def test_sharded_bmssp_frontier_compressed_comm(mesh8):
+    """Long-diameter path graph: the per-sweep exchange must be the fixed
+    frontier slab (D*F triplets), NOT the full O(n) distance vectors — and
+    doubling n must leave comm bytes/sweep bounded by the slab size while
+    the full-gather cost doubles."""
+    from sublinear_tpu.parallel.graph_sharded import bmssp_sharded
+    from sublinear_tpu.solvers.bmssp import shortest_paths
+
+    def path_graph(n):
+        i = np.arange(n - 1)
+        w = np.full(n - 1, 1.0)
+        return slt.Matrix.from_coo(np.r_[i, i + 1], np.r_[i + 1, i],
+                                   np.r_[w, w], (n, n))
+
+    stats = {}
+    for n in (2048, 4096):
+        A = path_graph(n)
+        dist_s, x_s, _ = shortest_paths(A, [0])
+        dist_m, x_m, sweeps, st = bmssp_sharded(A, [0], mesh=mesh8,
+                                                return_stats=True)
+        np.testing.assert_allclose(dist_m, dist_s[:n], rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(x_m, x_s[:n], rtol=1e-5, atol=1e-5)
+        stats[n] = st
+    # path frontier is O(1) per sweep; the slab stays at its 128-row floor
+    # while the round-3 full gather would double with n
+    assert stats[2048]["comm_bytes_per_sweep"] == stats[4096]["comm_bytes_per_sweep"]
+    assert (stats[4096]["full_gather_bytes_per_sweep"]
+            == 2 * stats[2048]["full_gather_bytes_per_sweep"])
+    assert (stats[4096]["comm_bytes_per_sweep"]
+            < stats[4096]["full_gather_bytes_per_sweep"])
 
 
 def test_ring_halo_banded_cg(mesh8):
