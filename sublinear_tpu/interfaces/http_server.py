@@ -40,6 +40,8 @@ class Job:
     instead); here late subscribers replay the full history."""
 
     def __init__(self, job_id: str, session_id: str):
+        from ..solvers.streaming import StreamControl
+
         self.id = job_id
         self.session_id = session_id
         self.status = "pending"  # pending|running|completed|failed
@@ -49,6 +51,9 @@ class Job:
         self.result = None
         self.error = None
         self.created = time.time()
+        # live-session mailbox: WS update_rhs messages land here and the
+        # streaming loop drains them between chunks (neumann.rs:436-462)
+        self.control = StreamControl()
 
     def append_chunk(self, chunk: dict):
         with self.cond:
@@ -115,7 +120,13 @@ class SessionManager:
             )
             method = payload.get("method", "conjugate-gradient")
             last = None
-            for chunk in streaming_solve(matrix, b, options, method=method):
+            for chunk in streaming_solve(
+                    matrix, b, options, method=method,
+                    chunk_iters=int(payload.get("chunkIterations", 10)),
+                    control=job.control,
+                    verify_every=int(payload.get("verifyEvery", 4)),
+                    verify_probes=int(payload.get("verifyProbes", 16)),
+                    verify_tolerance=float(payload.get("verifyTolerance", 1e-4))):
                 last = chunk
                 job.append_chunk(chunk.to_dict())
             job.result = last.to_dict() if last else None
@@ -378,6 +389,24 @@ class Handler(BaseHTTPRequestHandler):
                     threading.Thread(
                         target=self._ws_stream_job, args=(ws, job), daemon=True
                     ).start()
+            elif mtype == "update_rhs":
+                # delta update into a LIVE session: queued into the job's
+                # StreamControl, applied between chunks without restarting
+                # the stream (src/solver/mod.rs:245, neumann.rs:436-462)
+                job = self._find_session_job(message.get("session_id"))
+                delta = message.get("delta") or {}
+                if job is None or job.done:
+                    ws.send_json({"type": "error",
+                                  "error": "Session not found or not running"})
+                else:
+                    try:
+                        job.control.push_delta(delta.get("indices", []),
+                                               delta.get("values", []))
+                        ws.send_json({"type": "rhs_updated",
+                                      "session_id": job.session_id,
+                                      "count": len(delta.get("indices", []))})
+                    except (ValueError, TypeError) as e:
+                        ws.send_json({"type": "error", "error": str(e)})
             else:
                 ws.send_json({"type": "error", "error": f"Unknown message type: {mtype}"})
 

@@ -224,6 +224,8 @@ class SolutionChunk:
     converged: bool
     solution: Optional[np.ndarray] = None
     timestamp_ms: float = 0.0
+    verification: Optional[dict] = None  # in-stream probe event (streaming.js:323-420)
+    rhs_version: int = 0                 # live update_rhs generation counter
 
     def to_dict(self) -> dict:
         d = {
@@ -234,6 +236,10 @@ class SolutionChunk:
         }
         if self.solution is not None:
             d["solution"] = np.asarray(self.solution).tolist()
+        if self.verification is not None:
+            d["verification"] = self.verification
+        if self.rhs_version:
+            d["rhsVersion"] = int(self.rhs_version)
         return d
 
 

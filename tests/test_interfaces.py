@@ -238,6 +238,94 @@ def test_streaming_solve_generator():
     assert np.linalg.norm(A.csr.matvec(x) - b) / np.linalg.norm(b) < 1e-6
 
 
+def test_streaming_live_delta_and_verification():
+    """Live update_rhs semantics (neumann.rs:436-462 online form): a delta
+    queued into the session's StreamControl mutates b BETWEEN chunks, the
+    iterate carries over, and the stream converges to the NEW fixed point.
+    In-stream probe verification events ride the chunks (streaming.js:323-420)."""
+    from sublinear_tpu.solvers.streaming import StreamControl, streaming_solve
+
+    A = slt.generate("random-sparse", 64, seed=9, density=0.1)
+    b = slt.rhs(64, seed=9)
+    ctrl = StreamControl()
+    it = streaming_solve(A, b, slt.SolverOptions(epsilon=1e-8, seed=3),
+                         chunk_iters=2, control=ctrl,
+                         verify_every=1, verify_probes=12,
+                         verify_tolerance=1e-5)
+    first = next(it)
+    assert first.rhs_version == 0
+    assert first.verification is not None  # probes from chunk 1
+    # mutate b mid-solve: the session must keep running, not restart
+    delta_idx, delta_val = np.array([0, 5, 7]), np.array([2.0, -1.5, 0.25])
+    ctrl.push_delta(delta_idx, delta_val)
+    chunks = [first] + list(it)
+    last = chunks[-1]
+    assert last.converged
+    assert last.rhs_version == 1
+    # residual responded to the mutation: some post-delta chunk jumped above
+    # the pre-delta trajectory before re-converging
+    b_new = b.copy()
+    b_new[delta_idx] += delta_val
+    x = last.solution
+    assert np.linalg.norm(A.csr.matvec(x) - b_new) / np.linalg.norm(b_new) < 1e-6
+    # the old fixed point is NOT the answer any more
+    assert np.linalg.norm(A.csr.matvec(x) - b) / np.linalg.norm(b) > 1e-3
+    # the final verification event checked against the UPDATED b and passed
+    assert last.verification is not None and last.verification["verified"]
+    # iteration counter is cumulative across the delta (no restart)
+    post = [c for c in chunks if c.rhs_version == 1]
+    assert post and post[0].iteration > first.iteration
+
+
+def test_websocket_update_rhs_live(http_server):
+    """WS e2e: subscribe to a solve, push update_rhs mid-stream, watch the
+    residual respond and the stream re-converge to the new RHS with passing
+    in-stream verification events."""
+    sock, ws = _ws_connect(http_server)
+    try:
+        assert _ws_recv(ws)["type"] == "welcome"
+        n = 96
+        A = slt.generate("random-sparse", n, seed=4, density=0.08)
+        b = slt.rhs(n, seed=4)
+        _ws_send(ws, {"type": "solve", "matrix": A.to_dict(),
+                      "vector": b.tolist(), "method": "conjugate-gradient",
+                      "epsilon": 1e-8, "chunkIterations": 1,
+                      "verifyEvery": 2, "verifyTolerance": 1e-5})
+        started = _ws_recv(ws)
+        assert started["type"] == "solve_started"
+        sid = started["session_id"]
+        delta = {"indices": [1, 2], "values": [3.0, -2.0]}
+        sent_update = False
+        updates, acked = [], False
+        while True:
+            doc = _ws_recv(ws)
+            if doc["type"] == "rhs_updated":
+                acked = True
+                assert doc["count"] == 2
+                continue
+            if doc["type"] == "session_complete":
+                break
+            assert doc["type"] == "session_update"
+            updates.append(doc)
+            if not sent_update and len(updates) == 2:
+                _ws_send(ws, {"type": "update_rhs", "session_id": sid,
+                              "delta": delta})
+                sent_update = True
+        assert acked
+        last = updates[-1]
+        assert last["converged"] is True
+        assert last.get("rhsVersion") == 1
+        # in-stream verification events were emitted and the final one passed
+        vevents = [u["verification"] for u in updates if "verification" in u]
+        assert vevents and vevents[-1]["verified"] is True
+        b_new = b.copy()
+        b_new[[1, 2]] += [3.0, -2.0]
+        x = np.asarray(last["solution"])
+        assert np.linalg.norm(A.csr.matvec(x) - b_new) / np.linalg.norm(b_new) < 1e-5
+    finally:
+        sock.close()
+
+
 def test_http_swarm_endpoints(http_server):
     status, j = _post(http_server + "/api/v1/swarm/join", {"capabilities": {"methods": ["all"]}})
     assert status == 200 and "workerId" in j
