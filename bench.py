@@ -97,16 +97,19 @@ def bench_vmapped_small(A, b, reps=32768, iters=16):
     return per_ms, ok, float(ress.max())
 
 
-def bench_chain_neumann(A, b, r_short, r_long, iters):
+def bench_chain_neumann(A, b, r_short, r_long, iters, op=None):
     """Large n: serialized chain of fixed-iteration Neumann solves through
-    the auto-selected operator (the crossbar kernel above the dense regime).
+    the auto-selected operator (the crossbar kernel above the dense regime),
+    or an explicitly supplied operator (forced-XBAR small-n coverage).
     Neumann fits these asymmetric DD systems (x = sum (D^-1 R)^k D^-1 b);
     every repetition's relative residual is verified at 1e-6."""
     import jax
     import jax.numpy as jnp
 
-    op = A.op()
-    b_pad = A.pad_vector(b)
+    op = A.op() if op is None else op
+    b_full = np.zeros(op.m_pad)
+    b_full[: len(b)] = b
+    b_pad = jnp.asarray(b_full, op.dtype)
 
     def make_chain(R):
         @jax.jit
@@ -211,6 +214,27 @@ def main():
         })
         print(f"  -> {per_ms:.4f} ms/solve (ref {ref_ms} ms, {ref_ms/per_ms:.1f}x) res={max_res:.2e}", file=sys.stderr)
 
+        if n == 1_000:
+            # small-n SPARSE coverage: the auto-router legitimately picks the
+            # dense MXU path here (445x), but the XBAR engine must stay honest
+            # below n=10k — bench the forced sparse path beside it.
+            try:
+                from sublinear_tpu.ops import xbar as _xbar
+
+                op_x = _xbar.xbar_from_csr(A.csr)
+                if op_x is not None:
+                    per_ms, ok, max_res = bench_chain_neumann(
+                        A, b, r_short=16, r_long=80, iters=14, op=op_x)
+                    ladder_out.append({
+                        "n": n, "ms": round(per_ms, 4), "reference_ms": ref_ms,
+                        "speedup": round(ref_ms / per_ms, 2) if (ok and per_ms > 0) else 0.0,
+                        "max_res": f"{max_res:.2e}", "kind": "xbar",
+                        "note": "forced sparse path (auto-router picks dense at this n)",
+                    })
+                    print(f"  -> xbar-forced {per_ms:.4f} ms/solve ok={ok} res={max_res:.2e}", file=sys.stderr)
+            except Exception as e:  # must not poison the ladder
+                print(f"small-n xbar row failed: {e}", file=sys.stderr)
+
     try:
         per_rhs_ms, ok = bench_batch_point()
         ladder_out.append({
@@ -222,7 +246,8 @@ def main():
     except Exception as e:  # batch bench must not poison the ladder
         print(f"batch bench failed: {e}", file=sys.stderr)
 
-    head = ladder_out[2]
+    head = next(r for r in ladder_out
+                if r["n"] == 100_000 and "batch" not in r)
     print(f"total bench wall {time.perf_counter()-t_all:.0f}s", file=sys.stderr)
     print(json.dumps({
         "metric": HEADLINE,
