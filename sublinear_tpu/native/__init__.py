@@ -54,7 +54,7 @@ def get_lib():
     lib.row_positions.argtypes = [i64p, ctypes.c_int64, ctypes.c_int64, i64p]
     lib.rcm_ordering.restype = None
     lib.rcm_ordering.argtypes = [i64p, i32p, i64p, i32p, ctypes.c_int64, i64p]
-    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     lib.route_xbar.restype = ctypes.c_int64
@@ -64,7 +64,7 @@ def get_lib():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,       # K, Rr, Cb_pad
         ctypes.c_int64, ctypes.c_int64,                       # Bd, Hs
         ctypes.c_uint64, ctypes.c_int32,                      # seed, max_attempts
-        i8p, f32p, i8p, ctypes.c_int64, i8p, u8p,             # tables
+        i16p, f32p, i16p, ctypes.c_int64, i16p, u8p,          # tables
     ]
     _lib = lib
     return _lib

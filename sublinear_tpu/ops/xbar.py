@@ -34,9 +34,10 @@ materialises the slot tensor.  Routing is a balls-into-bins problem solved
 at pack time (native C++ router in native/packer.cpp, NumPy fallback);
 failures go to a sorted COO tail handled by XLA segment_sum.
 
-All index tables are int8 (values < 128 by construction), cutting HBM
-traffic to ~val_src + o2t + small index planes; measured single-chip HBM
-stream bandwidth here is ~608 GB/s (scratch/prof_prims.py).
+All index tables are int16 (values < 128 by construction; i16 index vregs
+gather ~1.5x faster than i8/i32 on this chip and the kernels are
+VPU-serial-bound, not HBM-bound — scratch/prof_casts.py, prof_trace.py);
+measured single-chip HBM stream bandwidth is ~608 GB/s (scratch/prof_prims.py).
 """
 from __future__ import annotations
 
@@ -55,7 +56,10 @@ import os as _os
 GRID_ROWS = 16384         # padding unit for source/dest index spaces
 MAX_BANKS = 4             # dest blocks <= MAX_BANKS*128 (idx2 lane budget)
 SRC_LOAD = float(_os.environ.get("SLT_XBAR_SRC_LOAD", 0.68))  # source occupancy
-DST_LOAD = float(_os.environ.get("SLT_XBAR_DST_LOAD", 0.42))  # dest-slot occupancy
+# dest-slot occupancy: the native router's systematic second pass (packer.cpp)
+# keeps the unroutable tail near zero even at 0.55, and K (hence the phase-2
+# dest-block count Bd = K*Cb_pad, the dominant kernel cost) scales with 1/load
+DST_LOAD = float(_os.environ.get("SLT_XBAR_DST_LOAD", 0.55))  # dest-slot occupancy
 ROT = 37                  # per-slot dest-lane rotation (odd -> all distinct)
 
 
@@ -75,10 +79,15 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int):
     Rr = -(-n // 128)
     Cb = -(-Rr // 128)
     if Cb <= 8:
-        Cb_pad = 1 << (Cb - 1).bit_length() if Cb > 1 else 1
+        # exact Cb (no pow2 padding): Bd = K*Cb_pad is the phase-2 iteration
+        # count, so a Cb=7 matrix keeps 7/8 of the padded dest blocks.  K is
+        # rounded to even so phase 2 can pair dest blocks sharing an output
+        # row tile (one accumulate per pair).
+        Cb_pad = Cb
+        k_unit = 2
     else:
         Cb_pad = -(-Cb // 8) * 8
-    k_unit = max(1, 8 // Cb_pad)
+        k_unit = 1
     K_max = (MAX_BANKS * 128 // Cb_pad) // k_unit * k_unit
     P_max = (128 * 128 - 128) // C_src
     if K_max <= 0 or P_max < 2:
@@ -96,8 +105,13 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int):
     ew = nnz * 128.0 / (Rr * C_src)          # entries per (rh, h-window)
     need = int(np.ceil(ew / 0.55))
     if P * K < need:
-        # balance: P-side tables cost ~P*C_src*640 B, K-side ~K*Cb_pad*16384 B
-        K_bal = int(np.sqrt(need * C_src * 640.0 / (Cb_pad * 16384.0))) + 1
+        # balance by measured KERNEL TIME, not table bytes: +1 P adds
+        # C_src/128 phase-1 source blocks (~530 ns each), +1 K adds Cb_pad
+        # phase-2 dest blocks (~300 ns each) — minimize 530*(C_src/128)*P +
+        # 300*Cb_pad*K subject to P*K >= need (scratch/prof_trace.py).
+        cost_p = 530.0 * C_src / 128.0
+        cost_k = 300.0 * Cb_pad
+        K_bal = int(np.sqrt(need * cost_p / cost_k)) + 1
         K = min(max(K, -(-K_bal // k_unit) * k_unit), K_max)
         P = min(max(P, -(-need // K)), P_max)
     if P * K < need:
@@ -119,6 +133,12 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int):
             K = K_max
             break
         P += 1
+    # tuning overrides (bench exploration): force P / K within structural caps
+    env_p, env_k = _os.environ.get("SLT_XBAR_P"), _os.environ.get("SLT_XBAR_K")
+    if env_p:
+        P = min(max(2, int(env_p)), P_max)
+    if env_k:
+        K = min(max(max(8, K_cov), -(-int(env_k) // k_unit) * k_unit), K_max)
     # round Bs up to a multiple of 4 so kernel 1 can process >=4 source
     # blocks per grid step (DMA-size efficiency); extra blocks are all-zero
     Bs = -(-(P * C_src // 128 + 1) // 4) * 4
@@ -145,11 +165,14 @@ def xbar_feasible(n: int, m: int, nnz: int, max_count_h: int) -> bool:
 
 
 def _k1_group(Bs: int) -> int:
+    """Source blocks per phase-1 grid step.  Larger groups mean larger
+    per-step DMA transfers (the phase is HBM-stream-bound); 8 measured
+    ~23% faster than 4 end-to-end at n=100k (scratch/prof_xbar.py)."""
     import os
 
     env = os.environ.get("SLT_XBAR_G1")
-    cap = int(env) if env else 4
-    for g in (8, 4, 2):
+    cap = int(env) if env else 8
+    for g in (24, 16, 12, 8, 4, 2):
         if g <= cap and Bs % g == 0:
             return g
     return 1
@@ -168,11 +191,11 @@ def _k1_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int):
             sb = pl.program_id(0) * G + g
             h0 = (sb % cb_s) * 128
             xb = x_ref[pl.ds(h0, 128), :]
-            idx = is_ref[g * 128:(g + 1) * 128, :].astype(jnp.int32)
+            idx = is_ref[g * 128:(g + 1) * 128, :]
             prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[g * 128:(g + 1) * 128, :]
             t1 = prod.T                                   # (ds, ss)
             for t in range(banks):
-                it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128].astype(jnp.int32)
+                it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128]
                 o2b = jnp.take_along_axis(t1, it, axis=1)  # (ds, db')
                 w = min(128, Bd - t * 128)
                 o_ref[g, t * 128:t * 128 + w, :] = o2b.T[:w, :]
@@ -200,20 +223,56 @@ def _k1_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int):
 FUSED_O2T_CAP = 64 * 1024 * 1024  # VMEM-resident o2t budget (v5e holds >=100MB)
 
 
+def _k2_group(Bd: int, Cb_pad: int) -> int:
+    """Dest blocks per phase-2 step: a multiple of 2*Cb_pad (so output-row
+    pairs complete within a step) dividing Bd, capped by VMEM block size."""
+    u = 2 * Cb_pad
+    g = u
+    while g + u <= 32 and Bd % (g + u) == 0:
+        g += u
+    return g if Bd % g == 0 else u
+
+
+def _phase2_body(read_slab, i3_ref, y_ref, db0: int, G2: int, Cb_pad: int,
+                 Bs: int):
+    """Shared phase-2 step: drain G2 dest-block slabs into the y tile block.
+
+    Dest blocks db = k*Cb_pad + jc; the pair (jj, jj+Cb_pad) within a step
+    shares the output row tile jc = db % Cb_pad, so their routed values are
+    summed in registers and hit y once (halves the y read-modify-writes)."""
+    for jj in range(Cb_pad):
+        acc = None
+        for hh in range(G2 // Cb_pad):
+            ii = hh * Cb_pad + jj
+            db = db0 + ii
+            k = db // Cb_pad
+            s_k = (k * ROT) % 128
+            m = read_slab(ii)                              # (Bs, 128)
+            mp = pltpu.roll(m, -s_k, 1)                    # undo slot rotation
+            mt = mp.T                                      # (dsr, Bs)
+            if Bs < 128:
+                mt = jnp.concatenate(
+                    [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
+            i3 = i3_ref[ii * 128:(ii + 1) * 128, :]
+            o3 = jnp.take_along_axis(mt, i3, axis=1)       # (dsr, rl)
+            acc = o3 if acc is None else acc + o3
+        y_ref[jj * 128:(jj + 1) * 128, :] += acc
+
+
 def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                 Cb_pad: int):
     """BOTH crossbar kernels in ONE pallas_call with the o2t intermediate in
     VMEM scratch — the (write+read) HBM round-trip of o2t was 59% of the
-    matvec's 43.7 MB traffic and the two separate kernels ran at the SUM of
+    matvec's HBM traffic and the two separate kernels ran at the SUM of
     their floors (no overlap).  A single sequential grid runs the Bs//G
-    source-block steps first (filling the scratch), then the Bd//8 dest-block
-    steps (draining it into y); input-block DMAs pipeline across the phase
-    boundary for free.  Requires Cb_pad <= 8 and o2t under FUSED_O2T_CAP
-    (large-n shapes fall back to the 2-kernel HBM path)."""
+    source-block steps first (filling the scratch), then the Bd//G2
+    dest-block steps (draining it into y); input-block DMAs pipeline across
+    the phase boundary for free.  Requires Cb_pad <= 8 and o2t under
+    FUSED_O2T_CAP (large-n shapes fall back to the 2-kernel HBM path)."""
     bw = banks * 128
     G = _k1_group(Bs)
     P1 = Bs // G
-    G2 = 8
+    G2 = _k2_group(Bd, Cb_pad)
     P2 = Bd // G2
 
     def kernel(x_ref, is_ref, vs_ref, i2_ref, i3_ref, y_ref, o_scr):
@@ -229,11 +288,11 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                 sb = i * G + g
                 h0 = (sb % cb_s) * 128
                 xb = x_ref[pl.ds(h0, 128), :]
-                idx = is_ref[g * 128:(g + 1) * 128, :].astype(jnp.int32)
+                idx = is_ref[g * 128:(g + 1) * 128, :]
                 prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[g * 128:(g + 1) * 128, :]
                 t1 = prod.T                                   # (ds, ss)
                 for t in range(banks):
-                    it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128].astype(jnp.int32)
+                    it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128]
                     o2b = jnp.take_along_axis(t1, it, axis=1)  # (ds, db')
                     w = min(128, Bd - t * 128)
                     o_scr[pl.ds(sb, 1), pl.ds(t * 128, w), :] = o2b.T[:w][None]
@@ -241,20 +300,12 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
         @pl.when(i >= P1)
         def _():
             j2 = i - P1
-            for ii in range(G2):
-                db = j2 * G2 + ii
-                k = db // Cb_pad
-                jrow = (ii % Cb_pad) * 128      # db%Cb_pad == ii%Cb_pad (Cb_pad | 8)
-                s_k = (k * ROT) % 128
-                m = o_scr[:, pl.ds(db, 1), :].reshape(Bs, 128)
-                mp = pltpu.roll(m, -s_k, 1)
-                mt = mp.T                                      # (dsr, Bs)
-                if Bs < 128:
-                    mt = jnp.concatenate(
-                        [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
-                i3 = i3_ref[ii * 128:(ii + 1) * 128, :].astype(jnp.int32)
-                o3 = jnp.take_along_axis(mt, i3, axis=1)       # (dsr, rl)
-                y_ref[jrow:jrow + 128, :] += o3
+            db0v = j2 * G2
+
+            def read_slab(ii):
+                return o_scr[:, pl.ds(db0v + ii, 1), :].reshape(Bs, 128)
+
+            _phase2_body(read_slab, i3_ref, y_ref, db0v, G2, Cb_pad, Bs)
 
     o2t_bytes = Bs * Bd * 128 * 4
     return pl.pallas_call(
@@ -290,14 +341,22 @@ def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
     small = Cb_pad <= 8
     G_rows = min(Cb_pad, 8)          # y rows (in 128-chunks) per out block
     if small:
-        import os
-
-        cap = int(os.environ.get("SLT_XBAR_G2", "16"))
-        G2 = next((g for g in (32, 16, 8) if g <= cap and Bd % g == 0), 8)
+        # o2t is consumed as a 2D (Bs, Bd*128) view so the per-step block
+        # (Bs, G2*128) is lane-tiled for any G2 (a (Bs, G2, 128) 3D block
+        # would need G2 % 8 == 0, which exact Cb_pad geometries don't give)
+        G2 = _k2_group(Bd, Cb_pad)
         grid = (1, Bd // G2)
-        o2t_idx = lambda j8, s: (0, s, 0)
+        o2t_idx = lambda j8, s: (0, s)
         i3_idx = lambda j8, s: (s, 0)
         out_idx = lambda j8, s: (0, 0)
+
+        def kernel(o_ref, i3_ref, y_ref):
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                y_ref[:] = jnp.zeros_like(y_ref)
+            db0 = G2 * pl.program_id(1)
+            _phase2_body(lambda ii: o_ref[:, ii * 128:(ii + 1) * 128],
+                         i3_ref, y_ref, db0, G2, Cb_pad, Bs)
     else:
         G2 = 8
         J8 = Cb_pad // 8
@@ -306,36 +365,32 @@ def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
         i3_idx = lambda j8, k: (k * J8 + j8, 0)
         out_idx = lambda j8, k: (j8, 0)
 
-    def kernel(o_ref, i3_ref, y_ref):
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            y_ref[:] = jnp.zeros_like(y_ref)
-        for i in range(G2):
-            if small:
-                db = G2 * pl.program_id(1) + i
-                k = db // Cb_pad
-                jrow = (i % Cb_pad) * 128
-            else:
-                k = pl.program_id(1)
-                jrow = i * 128
+        def kernel(o_ref, i3_ref, y_ref):
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                y_ref[:] = jnp.zeros_like(y_ref)
+            k = pl.program_id(1)
             s_k = (k * ROT) % 128
-            m = o_ref[:, i, :]                                  # (Bs, ds)
-            # undo the slot rotation: a lane ROTATE (hardware shift), not a
-            # gather — mp[:, i] = m[:, (i + s_k) & 127]
-            mp = pltpu.roll(m, -s_k, 1)                         # (Bs, dsr)
-            mt = mp.T                                           # (dsr, Bs)
-            if Bs < 128:
-                mt = jnp.concatenate(
-                    [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
-            i3 = i3_ref[i * 128:(i + 1) * 128, :].astype(jnp.int32)
-            o3 = jnp.take_along_axis(mt, i3, axis=1)            # (dsr, rl)
-            y_ref[jrow:jrow + 128, :] += o3
+            for i in range(G2):
+                m = o_ref[:, i, :]                              # (Bs, ds)
+                # undo the slot rotation: a lane ROTATE, not a gather
+                mp = pltpu.roll(m, -s_k, 1)                     # (Bs, dsr)
+                mt = mp.T                                       # (dsr, Bs)
+                if Bs < 128:
+                    mt = jnp.concatenate(
+                        [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
+                i3 = i3_ref[i * 128:(i + 1) * 128, :]
+                o3 = jnp.take_along_axis(mt, i3, axis=1)        # (dsr, rl)
+                y_ref[i * 128:(i + 1) * 128, :] += o3
 
-    return pl.pallas_call(
+    o2t_spec = (pl.BlockSpec((Bs, G2 * 128), o2t_idx, memory_space=pltpu.VMEM)
+                if small else
+                pl.BlockSpec((Bs, G2, 128), o2t_idx, memory_space=pltpu.VMEM))
+    call = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((Bs, G2, 128), o2t_idx, memory_space=pltpu.VMEM),
+            o2t_spec,
             pl.BlockSpec((G2 * 128, 128), i3_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((G_rows * 128, 128), out_idx,
@@ -343,6 +398,9 @@ def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
         out_shape=jax.ShapeDtypeStruct((Cb_pad * 128, 128), jnp.float32),
         interpret=_interpret(),
     )
+    if small:
+        return lambda o2t, idx3: call(o2t.reshape(Bs, Bd * 128), idx3)
+    return call
 
 
 @jax.tree_util.register_pytree_node_class
@@ -352,10 +410,10 @@ class XbarOperator:
     def __init__(self, idx_src, val_src, idx2, idx3, tail_vals, tail_rows,
                  tail_cols, diag, inv_diag, *, shape, n_pad, m_pad, C_src,
                  cb_s, Rr, Cb_pad, P, K, Bs, Bd, banks, nnz):
-        self.idx_src = idx_src    # (Hs, 128) i8 — lane lo of gathered col
+        self.idx_src = idx_src    # (Hs, 128) i16 — lane lo of gathered col
         self.val_src = val_src    # (Hs, 128) f32
-        self.idx2 = idx2          # (Hs, banks*128) i8 — source sublane ss
-        self.idx3 = idx3          # (Bd*128, 128) i8 — source block sb
+        self.idx2 = idx2          # (Hs, banks*128) i16 — source sublane ss
+        self.idx3 = idx3          # (Bd*128, 128) i16 — source block sb
         self.tail_vals = tail_vals
         self.tail_rows = tail_rows
         self.tail_cols = tail_cols
@@ -409,15 +467,15 @@ class XbarOperator:
     def fused(self) -> bool:
         """True when the matvec runs as ONE kernel with o2t in VMEM scratch
         (small/medium shapes); large shapes spill o2t through HBM."""
-        return (self.Cb_pad <= 8 and self.Bd % 8 == 0
+        return (self.Cb_pad <= 8 and self.Bd % (2 * self.Cb_pad) == 0
                 and self.Bs * self.Bd * 128 * 4 <= FUSED_O2T_CAP)
 
     @property
     def hbm_bytes_per_matvec(self) -> int:
         """Bytes moved per matvec (for roofline accounting)."""
         o2t = 0 if self.fused else self.Bs * self.Bd * 128 * 4
-        return (self.idx_src.size + self.idx2.size + self.idx3.size
-                + self.val_src.size * 4 + 2 * o2t
+        return (self.idx_src.nbytes + self.idx2.nbytes + self.idx3.nbytes
+                + self.val_src.nbytes + 2 * o2t
                 + self.m_pad * 4 + self.n_pad * 4 + self.tail_nnz * 12)
 
     def matvec(self, x: jax.Array) -> jax.Array:
@@ -562,10 +620,13 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
     n_pad, m_pad = g["n_pad"], g["m_pad"]
 
     from .. import native as _native
-    idx_src = np.zeros((Hs, 128), dtype=np.int8)
+    # int16 index planes: the per-sublane lane gather runs ~1.5x faster from
+    # i16 index vregs than i8/i32 on this chip (scratch/prof_casts.py), and
+    # no i->i32 cast is needed in-kernel.
+    idx_src = np.zeros((Hs, 128), dtype=np.int16)
     val_src = np.zeros((Hs, 128), dtype=np.float32)
-    idx2 = np.zeros((Hs, banks * 128), dtype=np.int8)
-    idx3 = np.full((Bd * 128, 128), Bs - 1, dtype=np.int8)
+    idx2 = np.zeros((Hs, banks * 128), dtype=np.int16)
+    idx3 = np.full((Bd * 128, 128), Bs - 1, dtype=np.int16)
     placed = None
     if _native.available() and hasattr(_native, "route_xbar"):
         placed = _native.route_xbar(
@@ -576,7 +637,7 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
         placed = plane >= 0
         pi = np.flatnonzero(placed)
         h = h_all[pi]
-        lo = (cols[pi] & 127).astype(np.int8)
+        lo = (cols[pi] & 127).astype(np.int16)
         rh = (rows[pi] >> 7).astype(np.int64)
         rl = (rows[pi] & 127).astype(np.int64)
         dsr = (rh & 127).astype(np.int64)
@@ -586,9 +647,9 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
         idx_src[srow, ds] = lo
         val_src[srow, ds] = vals[pi]
         sb = srow >> 7
-        ss = (srow & 127).astype(np.int8)
+        ss = (srow & 127).astype(np.int16)
         idx2[sb * 128 + ds, db] = ss
-        idx3[db * 128 + dsr, rl] = sb.astype(np.int8)
+        idx3[db * 128 + dsr, rl] = sb.astype(np.int16)
 
     if placed.sum() < 0.5 * nnz:
         return None  # routing collapsed; not an xbar-friendly matrix
