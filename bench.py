@@ -111,6 +111,12 @@ def bench_chain_neumann(A, b, r_short, r_long, iters, op=None):
     b_full[: len(b)] = b
     b_pad = jnp.asarray(b_full, op.dtype)
 
+    # tail-free diag-split packs run the WHOLE fixed-iteration solve plus
+    # its residual verification as ONE Pallas kernel (ops/xbar.py
+    # _chain_call: VMEM-resident tables, carried term/acc state)
+    use_chain = bool(getattr(op, "chain_ready", False))
+    print(f"  chain-kernel solve: {use_chain}", file=sys.stderr)
+
     def make_chain(R):
         @jax.jit
         def chain(b_pad, bump):
@@ -119,6 +125,10 @@ def bench_chain_neumann(A, b, r_short, r_long, iters, op=None):
             def solve_one(carry, j):
                 prev, _ = carry
                 bs = b_pad * (1.0 + 0.01 * bump * (j + 1).astype(op.dtype)) + 1e-6 * prev
+                if use_chain:
+                    x, _t, r = op.neumann_chain(inv_d * bs, iters, b=bs)
+                    res = jnp.linalg.norm(r) / jnp.linalg.norm(bs)
+                    return (x, res), res
                 term0 = inv_d * bs
 
                 def step(_, st):

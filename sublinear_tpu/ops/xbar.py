@@ -31,8 +31,19 @@ Each sparse entry (r, c, v) gets a *route*: a source slot
 so the K-sum for each output row is confined to statically-known rows of
 statically-known dest blocks — kernel 2 accumulates it in VMEM and never
 materialises the slot tensor.  Routing is a balls-into-bins problem solved
-at pack time (native C++ router in native/packer.cpp, NumPy fallback);
-failures go to a sorted COO tail handled by XLA segment_sum.
+at pack time (native C++ router in native/packer.cpp with a systematic
+second pass, NumPy fallback); failures go to a sorted COO tail handled by
+XLA segment_sum (~14 ns/entry on device, so packs aim for tail ZERO: the
+diagonal is split out of routing for square matrices and one retry at
+K+k_unit attempts a tail-free pack).
+
+Three execution paths, chosen by shape:
+  - ``_chain_call``: the WHOLE fixed-iteration Neumann recurrence (plus an
+    optional residual pass) as one kernel with all route tables
+    VMEM-resident — the solve path (this chip holds >=120 MB of VMEM);
+  - ``_fused_call``: one matvec as one kernel, o2t in VMEM scratch;
+  - ``_k1_call``/``_k2_call``: the 2-kernel HBM-spill path for shapes whose
+    o2t exceeds FUSED_O2T_CAP.
 
 All index tables are int16 (values < 128 by construction; i16 index vregs
 gather ~1.5x faster than i8/i32 on this chip and the kernels are
@@ -233,13 +244,15 @@ def _k2_group(Bd: int, Cb_pad: int) -> int:
     return g if Bd % g == 0 else u
 
 
-def _phase2_body(read_slab, i3_ref, y_ref, db0: int, G2: int, Cb_pad: int,
+def _phase2_body(read_slab, i3_slab, y_ref, db0: int, G2: int, Cb_pad: int,
                  Bs: int):
     """Shared phase-2 step: drain G2 dest-block slabs into the y tile block.
 
     Dest blocks db = k*Cb_pad + jc; the pair (jj, jj+Cb_pad) within a step
     shares the output row tile jc = db % Cb_pad, so their routed values are
-    summed in registers and hit y once (halves the y read-modify-writes)."""
+    summed in registers and hit y once (halves the y read-modify-writes).
+    Callers with a major-padded o2t scratch pass Bs=128 and skip the
+    zero-pad concat (Mosaic's gather requires a 128-lane source)."""
     for jj in range(Cb_pad):
         acc = None
         for hh in range(G2 // Cb_pad):
@@ -253,8 +266,7 @@ def _phase2_body(read_slab, i3_ref, y_ref, db0: int, G2: int, Cb_pad: int,
             if Bs < 128:
                 mt = jnp.concatenate(
                     [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
-            i3 = i3_ref[ii * 128:(ii + 1) * 128, :]
-            o3 = jnp.take_along_axis(mt, i3, axis=1)       # (dsr, rl)
+            o3 = jnp.take_along_axis(mt, i3_slab(ii), axis=1)  # (dsr, rl)
             acc = o3 if acc is None else acc + o3
         y_ref[jj * 128:(jj + 1) * 128, :] += acc
 
@@ -274,6 +286,7 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     P1 = Bs // G
     G2 = _k2_group(Bd, Cb_pad)
     P2 = Bd // G2
+    Ms = 128 if Bs < 128 else Bs   # pad majors: no 128-lane concat in phase 2
 
     def kernel(x_ref, is_ref, vs_ref, i2_ref, i3_ref, y_ref, o_scr):
         i = pl.program_id(0)
@@ -281,6 +294,9 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
         @pl.when(i == 0)
         def _():
             y_ref[:] = jnp.zeros_like(y_ref)
+            if Ms > Bs:   # zero the pad majors so phase-2 reads (128,.) slabs
+                o_scr[pl.ds(Bs, Ms - Bs), :, :] = jnp.zeros(
+                    (Ms - Bs, Bd, 128), jnp.float32)
 
         @pl.when(i < P1)
         def _():
@@ -303,11 +319,13 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
             db0v = j2 * G2
 
             def read_slab(ii):
-                return o_scr[:, pl.ds(db0v + ii, 1), :].reshape(Bs, 128)
+                return o_scr[:, pl.ds(db0v + ii, 1), :].reshape(Ms, 128)
 
-            _phase2_body(read_slab, i3_ref, y_ref, db0v, G2, Cb_pad, Bs)
+            _phase2_body(read_slab,
+                         lambda ii: i3_ref[ii * 128:(ii + 1) * 128, :],
+                         y_ref, db0v, G2, Cb_pad, Ms)
 
-    o2t_bytes = Bs * Bd * 128 * 4
+    o2t_bytes = Ms * Bd * 128 * 4
     return pl.pallas_call(
         kernel,
         grid=(P1 + P2,),
@@ -326,11 +344,156 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
         out_specs=pl.BlockSpec((Cb_pad * 128, 128), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Cb_pad * 128, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((Bs, Bd, 128), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((Ms, Bd, 128), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=min(o2t_bytes + 12 * 1024 * 1024,
                                  100 * 1024 * 1024),
+        ),
+        interpret=_interpret(),
+    )
+
+
+def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
+                Cb_pad: int, iters: int, with_residual: bool = False):
+    """FULL Neumann chain in ONE pallas_call:
+
+        term_{j+1} = -inv_d * (R term_j),   acc += term_{j+1}
+
+    where R is the routed off-diagonal operator (requires a tail-free
+    diag-split square pack).  Three structural wins vs. per-matvec calls:
+      - ALL index tables are whole-array VMEM residents (this chip holds
+        >=120 MB of VMEM): the ~25 MB of tables stream from HBM ONCE for
+        the whole chain instead of once per iteration, removing the
+        ~32 us/iteration phase-1 DMA floor (scratch/prof_fused_ablate.py);
+      - term/acc/y carries live in VMEM scratch for the whole chain, so
+        iteration state never round-trips HBM;
+      - the grid is ONE step per iteration with lax.fori_loops inside
+        (nothing is DMA-pipelined, so per-step grid overhead — index-map
+        evaluation over 7 operands x 43 steps — is pure waste).
+    The reference re-reads the CSR matrix from memory on every iteration
+    (/root/reference/src/solver/neumann.rs:154-213); this is the TPU-native
+    inversion of that loop.
+
+    with_residual adds ONE extra grid step that runs the routed matvec on
+    the final x and emits res2d = b - R x - diag*x, so a fixed-iteration
+    solve INCLUDING its residual verification is a single kernel launch.
+    """
+    bw = banks * 128
+    G = 4
+    while G > 1 and Bs % G:
+        G //= 2
+    P1 = Bs // G
+    G2 = _k2_group(Bd, Cb_pad)
+    P2 = Bd // G2
+    Ms = 128 if Bs < 128 else Bs   # pad majors: no 128-lane concat in phase 2
+
+    def kernel(*refs):
+        if with_residual:
+            (t0_ref, inv_ref, b_ref, diag_ref, is_ref, vs_ref, i2_ref,
+             i3_ref, acc_ref, tout_ref, res_ref, term_scr, y_scr,
+             o_scr) = refs
+        else:
+            (t0_ref, inv_ref, is_ref, vs_ref, i2_ref, i3_ref, acc_ref,
+             tout_ref, term_scr, y_scr, o_scr) = refs
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            term_scr[:] = t0_ref[:]
+            acc_ref[:] = t0_ref[:]
+            y_scr[:] = jnp.zeros_like(y_scr)
+            if Ms > Bs:
+                o_scr[pl.ds(Bs, Ms - Bs), :, :] = jnp.zeros(
+                    (Ms - Bs, Bd, 128), jnp.float32)
+
+        def p1_body(sg, carry):
+            for g in range(G):
+                sb = sg * G + g
+                h0 = jax.lax.rem(sb, cb_s) * 128
+                xb = term_scr[pl.ds(h0, 128), :]
+                r0 = sb * 128
+                idx = is_ref[pl.ds(r0, 128), :]
+                prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[pl.ds(r0, 128), :]
+                t1 = prod.T
+                for t in range(banks):
+                    it = i2_ref[pl.ds(r0, 128), t * 128:(t + 1) * 128]
+                    o2b = jnp.take_along_axis(t1, it, axis=1)
+                    w = min(128, Bd - t * 128)
+                    o_scr[pl.ds(sb, 1), pl.ds(t * 128, w), :] = o2b.T[:w][None]
+            return carry
+
+        jax.lax.fori_loop(0, P1, p1_body, 0, unroll=False)
+
+        def p2_body(j2, carry):
+            db0 = j2 * G2
+
+            def read_slab(ii):
+                return o_scr[:, pl.ds(db0 + ii, 1), :].reshape(Ms, 128)
+
+            _phase2_body(read_slab,
+                         lambda ii: i3_ref[pl.ds((db0 + ii) * 128, 128), :],
+                         y_scr, db0, G2, Cb_pad, Ms)
+            return carry
+
+        jax.lax.fori_loop(0, P2, p2_body, 0, unroll=False)
+
+        @pl.when(j < iters)
+        def _():
+            t_new = -(inv_ref[:] * y_scr[:])
+            acc2 = acc_ref[:] + t_new
+            acc_ref[:] = acc2
+            if with_residual:
+                # seed the extra residual pass with x itself on the last
+                # real iteration so step j==iters computes y = R x
+                term_scr[:] = jnp.where(j == iters - 1, acc2, t_new)
+            else:
+                term_scr[:] = t_new
+            y_scr[:] = jnp.zeros_like(y_scr)
+
+            @pl.when(j == iters - 1)
+            def _():
+                tout_ref[:] = t_new
+
+        if with_residual:
+            @pl.when(j == iters)
+            def _():
+                res_ref[:] = (b_ref[:] - y_scr[:]
+                              - diag_ref[:] * acc_ref[:])
+
+    Hs = Bs * 128
+    table_bytes = (2 * Hs * 128) + (4 * Hs * 128) + (2 * Hs * bw) \
+        + (2 * Bd * 128 * 128)
+    o2t_bytes = Ms * Bd * 128 * 4
+    vec = lambda: pl.BlockSpec((C_src, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM)
+    vec_out = lambda: jax.ShapeDtypeStruct((C_src, 128), jnp.float32)
+    in_specs = [vec(), vec()]
+    if with_residual:
+        in_specs += [vec(), vec()]
+    in_specs += [
+        pl.BlockSpec((Hs, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hs, bw), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Bd * 128, 128), lambda j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    n_out = 3 if with_residual else 2
+    return pl.pallas_call(
+        kernel,
+        grid=(iters + 1,) if with_residual else (iters,),
+        in_specs=in_specs,
+        out_specs=tuple(vec() for _ in range(n_out)),
+        out_shape=tuple(vec_out() for _ in range(n_out)),
+        scratch_shapes=[
+            pltpu.VMEM((C_src, 128), jnp.float32),         # term carry
+            pltpu.VMEM((Cb_pad * 128, 128), jnp.float32),  # y accumulator
+            pltpu.VMEM((Ms, Bd, 128), jnp.float32),        # o2t
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(table_bytes + o2t_bytes + 16 * 1024 * 1024,
+                                 120 * 1024 * 1024),
         ),
         interpret=_interpret(),
     )
@@ -356,7 +519,8 @@ def _k2_call(Bs: int, Bd: int, K: int, Cb_pad: int):
                 y_ref[:] = jnp.zeros_like(y_ref)
             db0 = G2 * pl.program_id(1)
             _phase2_body(lambda ii: o_ref[:, ii * 128:(ii + 1) * 128],
-                         i3_ref, y_ref, db0, G2, Cb_pad, Bs)
+                         lambda ii: i3_ref[ii * 128:(ii + 1) * 128, :],
+                         y_ref, db0, G2, Cb_pad, Bs)
     else:
         G2 = 8
         J8 = Cb_pad // 8
@@ -409,7 +573,8 @@ class XbarOperator:
 
     def __init__(self, idx_src, val_src, idx2, idx3, tail_vals, tail_rows,
                  tail_cols, diag, inv_diag, *, shape, n_pad, m_pad, C_src,
-                 cb_s, Rr, Cb_pad, P, K, Bs, Bd, banks, nnz):
+                 cb_s, Rr, Cb_pad, P, K, Bs, Bd, banks, nnz,
+                 diag_split=False):
         self.idx_src = idx_src    # (Hs, 128) i16 — lane lo of gathered col
         self.val_src = val_src    # (Hs, 128) f32
         self.idx2 = idx2          # (Hs, banks*128) i16 — source sublane ss
@@ -432,6 +597,7 @@ class XbarOperator:
         self.Bd = Bd
         self.banks = banks
         self._nnz = nnz
+        self.diag_split = diag_split  # diagonal excluded from route tables
 
     # pytree protocol
     def tree_flatten(self):
@@ -440,16 +606,16 @@ class XbarOperator:
                     self.diag, self.inv_diag)
         aux = (self.shape, self.n_pad, self.m_pad, self.C_src, self.cb_s,
                self.Rr, self.Cb_pad, self.P, self.K, self.Bs, self.Bd,
-               self.banks, self._nnz)
+               self.banks, self._nnz, self.diag_split)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (shape, n_pad, m_pad, C_src, cb_s, Rr, Cb_pad, P, K, Bs, Bd, banks,
-         nnz) = aux
+         nnz, diag_split) = aux
         return cls(*children, shape=shape, n_pad=n_pad, m_pad=m_pad,
                    C_src=C_src, cb_s=cb_s, Rr=Rr, Cb_pad=Cb_pad, P=P, K=K,
-                   Bs=Bs, Bd=Bd, banks=banks, nnz=nnz)
+                   Bs=Bs, Bd=Bd, banks=banks, nnz=nnz, diag_split=diag_split)
 
     @property
     def dtype(self):
@@ -478,7 +644,9 @@ class XbarOperator:
                 + self.val_src.nbytes + 2 * o2t
                 + self.m_pad * 4 + self.n_pad * 4 + self.tail_nnz * 12)
 
-    def matvec(self, x: jax.Array) -> jax.Array:
+    def _routed_matvec(self, x: jax.Array) -> jax.Array:
+        """The crossbar product over the ROUTED entries (+COO tail); with
+        diag_split this is exactly the off-diagonal product."""
         x2d = x.astype(jnp.float32).reshape(self.C_src, 128)
         if self.fused:
             y2d = _fused_call(self.C_src, self.Bs, self.Bd, self.banks,
@@ -495,6 +663,12 @@ class XbarOperator:
                                     self.n_pad)
         return y
 
+    def matvec(self, x: jax.Array) -> jax.Array:
+        y = self._routed_matvec(x)
+        if self.diag_split:
+            y = y + self.diag.astype(x.dtype) * x[: self.n_pad]
+        return y
+
     def matmat(self, X: jax.Array) -> jax.Array:
         """Batched product via scan — the batch path should prefer the ELL
         operator (Matrix.op(batch=True)); this exists for completeness."""
@@ -504,7 +678,48 @@ class XbarOperator:
         return Y.T
 
     def offdiag_matvec(self, x: jax.Array) -> jax.Array:
+        if self.diag_split:
+            return self._routed_matvec(x)
         return self.matvec(x) - self.diag * x
+
+    @property
+    def chain_ready(self) -> bool:
+        """True when the whole Neumann recurrence can run as ONE kernel:
+        tail-free diag-split square pack with the o2t scratch in VMEM."""
+        return (self.fused and self.diag_split and self.tail_nnz == 0
+                and self.shape[0] == self.shape[1]
+                and self.n_pad == self.m_pad
+                and self.Cb_pad * 16384 == self.n_pad)
+
+    def neumann_chain(self, term0: jax.Array, iters: int, b=None):
+        """Runs ``iters`` Neumann iterations as ONE Pallas kernel (see
+        _chain_call): returns ``(acc, last_term)`` with
+        acc = term0 + sum_{j=1..iters} (-D^-1 R)^j term0 and
+        last_term = (-D^-1 R)^iters term0, both m_pad-length.  Seeding with
+        the CURRENT term mid-series continues the series: the solver's
+        chunked driver uses x' = x + (acc - term), term' = last_term.
+        With ``b`` given, an extra fused matvec pass runs on the final x and
+        a third output res = b - A x is returned (fixed-iteration solve +
+        residual verification = ONE kernel launch)."""
+        t2d = term0.astype(jnp.float32).reshape(self.C_src, 128)
+        inv2d = self.inv_diag.reshape(self.C_src, 128)
+        if b is None:
+            acc, term = _chain_call(
+                self.C_src, self.Bs, self.Bd, self.banks, self.cb_s,
+                self.Cb_pad, int(iters))(
+                t2d, inv2d, self.idx_src, self.val_src, self.idx2, self.idx3)
+            return (acc.reshape(-1).astype(term0.dtype),
+                    term.reshape(-1).astype(term0.dtype))
+        b2d = b.astype(jnp.float32).reshape(self.C_src, 128)
+        d2d = self.diag.reshape(self.C_src, 128)
+        acc, term, res = _chain_call(
+            self.C_src, self.Bs, self.Bd, self.banks, self.cb_s,
+            self.Cb_pad, int(iters), with_residual=True)(
+            t2d, inv2d, b2d, d2d, self.idx_src, self.val_src, self.idx2,
+            self.idx3)
+        return (acc.reshape(-1).astype(term0.dtype),
+                term.reshape(-1).astype(term0.dtype),
+                res.reshape(-1).astype(term0.dtype))
 
     def as_dense(self) -> jax.Array:  # pragma: no cover - debugging aid
         eye = jnp.eye(self.m_pad, dtype=self.dtype)
@@ -593,32 +808,11 @@ def _route_numpy(rows, cols, vals, g, seed: int, rounds: int):
     return plane, k
 
 
-def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
-              rounds: int = 80):
-    """Build an XbarOperator from COO triplets, or return None if the
-    routing grids cannot host this matrix (caller falls back to ELL).
-
-    rows/cols: int64 arrays; vals: float array; shape: (n, m).
-    """
-    n, m = shape
-    rows = np.asarray(rows, dtype=np.int64).ravel()
-    cols = np.asarray(cols, dtype=np.int64).ravel()
-    vals = np.asarray(vals, dtype=np.float32).ravel()
-    nnz = len(rows)
-    if nnz == 0:
-        return None
-    h_all = (cols >> 7).astype(np.int64)
-    m_pad_probe = -(-m // GRID_ROWS) * GRID_ROWS
-    counts_h = np.bincount(h_all, minlength=m_pad_probe // 128)
-    g = _geometry(n, m, nnz, int(counts_h.max()))
-    if g is None:
-        return None
-    g["shape_n"] = n
+def _route_tables(rows, cols, vals, n, g, seed, rounds):
+    """Route one geometry; returns (tables..., placed mask) or None."""
     C_src, P, K = g["C_src"], g["P"], g["K"]
     Bs, Bd, Cb_pad, Hs = g["Bs"], g["Bd"], g["Cb_pad"], g["Hs"]
     banks = g["banks"]
-    n_pad, m_pad = g["n_pad"], g["m_pad"]
-
     from .. import native as _native
     # int16 index planes: the per-sublane lane gather runs ~1.5x faster from
     # i16 index vregs than i8/i32 on this chip (scratch/prof_casts.py), and
@@ -636,7 +830,7 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
         plane, k = _route_numpy(rows, cols, vals, g, seed, rounds)
         placed = plane >= 0
         pi = np.flatnonzero(placed)
-        h = h_all[pi]
+        h = (cols[pi] >> 7).astype(np.int64)
         lo = (cols[pi] & 127).astype(np.int16)
         rh = (rows[pi] >> 7).astype(np.int64)
         rl = (rows[pi] & 127).astype(np.int64)
@@ -650,20 +844,79 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
         ss = (srow & 127).astype(np.int16)
         idx2[sb * 128 + ds, db] = ss
         idx3[db * 128 + dsr, rl] = sb.astype(np.int16)
+    return idx_src, val_src, idx2, idx3, placed
 
-    if placed.sum() < 0.5 * nnz:
-        return None  # routing collapsed; not an xbar-friendly matrix
 
-    ti = np.flatnonzero(~placed)
-    to = ti[np.argsort(rows[ti], kind="stable")]
-    tail_vals = vals[to].astype(np.float32)
-    tail_rows = rows[to].astype(np.int32)
-    tail_cols = cols[to].astype(np.int32)
+def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
+              rounds: int = 80):
+    """Build an XbarOperator from COO triplets, or return None if the
+    routing grids cannot host this matrix (caller falls back to ELL).
 
+    rows/cols: int64 arrays; vals: float array; shape: (n, m).
+
+    For square matrices the diagonal is split OUT of the crossbar: it is
+    dense by construction in the DD systems this kernel targets, routing it
+    wastes ~n dest slots, and the solver inner loops consume the OFF-diagonal
+    product anyway (``offdiag_matvec`` is the raw kernel; ``matvec`` adds
+    ``diag*x`` in the epilogue).  When the first route leaves a small
+    unroutable tail, one retry at K+k_unit attempts a tail-FREE pack — a
+    tail-free operator is what enables the fully-fused iteration chain.
+    """
+    n, m = shape
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals, dtype=np.float32).ravel()
+    nnz = len(rows)
+    if nnz == 0:
+        return None
+
+    split_diag = (n == m)
     if diag is None:
         diag = np.zeros(n, dtype=np.float64)
         dmask = rows == cols
         np.add.at(diag, rows[dmask], vals[dmask].astype(np.float64))
+    if split_diag:
+        off = rows != cols
+        rows_r, cols_r, vals_r = rows[off], cols[off], vals[off]
+    else:
+        rows_r, cols_r, vals_r = rows, cols, vals
+    nnz_r = len(rows_r)
+    if nnz_r == 0:
+        return None
+
+    h_all = (cols_r >> 7).astype(np.int64)
+    m_pad_probe = -(-m // GRID_ROWS) * GRID_ROWS
+    counts_h = np.bincount(h_all, minlength=m_pad_probe // 128)
+    g = _geometry(n, m, nnz_r, int(counts_h.max()))
+    if g is None:
+        return None
+    g["shape_n"] = n
+    tabs = _route_tables(rows_r, cols_r, vals_r, n, g, seed, rounds)
+    k_unit = 2 if g["Cb"] <= 8 else 1
+    if tabs[-1] is not None and not tabs[-1].all():
+        # retry once for a tail-free pack (enables the chained kernel);
+        # kept only if it actually empties the tail
+        K_max = (MAX_BANKS * 128 // g["Cb_pad"]) // k_unit * k_unit
+        if g["K"] + k_unit <= K_max:
+            g2 = dict(g)
+            g2["K"] = g["K"] + k_unit
+            g2["Bd"] = g2["K"] * g2["Cb_pad"]
+            g2["banks"] = -(-g2["Bd"] // 128)
+            tabs2 = _route_tables(rows_r, cols_r, vals_r, n, g2, seed, rounds)
+            if tabs2[-1] is not None and tabs2[-1].all():
+                g, tabs = g2, tabs2
+    idx_src, val_src, idx2, idx3, placed = tabs
+    n_pad, m_pad = g["n_pad"], g["m_pad"]
+
+    if placed.sum() < 0.5 * nnz_r:
+        return None  # routing collapsed; not an xbar-friendly matrix
+
+    ti = np.flatnonzero(~placed)
+    to = ti[np.argsort(rows_r[ti], kind="stable")]
+    tail_vals = vals_r[to].astype(np.float32)
+    tail_rows = rows_r[to].astype(np.int32)
+    tail_cols = cols_r[to].astype(np.int32)
+
     diag_pad = np.zeros(n_pad, dtype=np.float32)
     diag_pad[:n] = np.asarray(diag, dtype=np.float32)[:n]
     inv_diag = np.where(diag_pad != 0,
@@ -674,9 +927,10 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
         jnp.asarray(idx_src), jnp.asarray(val_src), jnp.asarray(idx2),
         jnp.asarray(idx3), jnp.asarray(tail_vals), jnp.asarray(tail_rows),
         jnp.asarray(tail_cols), jnp.asarray(diag_pad), jnp.asarray(inv_diag),
-        shape=(n, m), n_pad=n_pad, m_pad=m_pad, C_src=C_src, cb_s=g["cb_s"],
-        Rr=g["Rr"], Cb_pad=Cb_pad, P=P, K=K, Bs=Bs, Bd=Bd, banks=banks,
-        nnz=nnz)
+        shape=(n, m), n_pad=n_pad, m_pad=m_pad, C_src=g["C_src"],
+        cb_s=g["cb_s"], Rr=g["Rr"], Cb_pad=g["Cb_pad"], P=g["P"], K=g["K"],
+        Bs=g["Bs"], Bd=g["Bd"], banks=g["banks"], nnz=nnz,
+        diag_split=split_diag)
 
 
 def xbar_from_csr(csr, dtype=None):

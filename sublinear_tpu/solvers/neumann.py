@@ -43,9 +43,20 @@ def _neumann_run(op, b, x0, threshold, max_iters, check_every, norm_mode="l2", m
         x, _ = state
         return base.device_norm(op.matvec(x) - b, norm_mode)
 
+    if getattr(op, "chain_ready", False) and check_every > 1:
+        # fully-fused chunk: check_every Neumann iterations in ONE Pallas
+        # kernel with VMEM-resident tables and carried state (ops/xbar.py
+        # _chain_call); the while_loop only runs the convergence check
+        def step_block(state):
+            x, term = state
+            acc, term2 = op.neumann_chain(term, check_every)
+            return x + (acc - term), term2
+    else:
+        step_block = base.repeat_steps(step, check_every)
+
     state0 = (x0 + term0, term0)
     (state, k, res, change) = base.while_iterate(
-        base.repeat_steps(step, check_every), residual_of, state0, threshold,
+        step_block, residual_of, state0, threshold,
         max_iters, check_every, x_of=lambda st: st[0], mode=mode,
         change_tol=change_tol,
     )

@@ -139,3 +139,80 @@ class TestXbarThroughMatrix:
         # must not pick xbar for batch:
         A2 = Matrix.from_coo(rows, cols, vals, (n, n))
         assert not isinstance(A2.op(batch=True), XO)
+
+
+class TestNeumannChain:
+    """The fully-fused Neumann iteration chain (ops/xbar.py::_chain_call)."""
+
+    def _op(self, n=500, seed=3):
+        rows, cols, vals = _dd_matrix(n, deg=5, seed=seed)
+        A = Matrix.from_coo(rows, cols, vals, (n, n), prefer="xbar")
+        return A.op(), rows, cols, vals, n
+
+    def test_chain_matches_explicit_loop(self):
+        op, rows, cols, vals, n = self._op()
+        if not op.chain_ready:
+            pytest.skip("pack not chain-eligible at this size")
+        rng = np.random.default_rng(0)
+        b = np.zeros(op.m_pad, np.float32)
+        b[:n] = rng.standard_normal(n).astype(np.float32)
+        b_pad = jnp.asarray(b)
+        term0 = op.inv_diag * b_pad
+        iters = 9
+
+        x_chain, t_last = jax.jit(
+            lambda t: op.neumann_chain(t, iters))(term0)
+        x_chain = np.asarray(x_chain)
+
+        # explicit per-matvec recurrence
+        x, term = term0, term0
+        for _ in range(iters):
+            term = -op.inv_diag * op.offdiag_matvec(term)
+            x = x + term
+        x_ref = np.asarray(x)
+        np.testing.assert_allclose(x_chain, x_ref, rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(t_last), np.asarray(term),
+                                   rtol=2e-5, atol=1e-7)
+
+    def test_chain_solves_dd_system(self):
+        op, rows, cols, vals, n = self._op(seed=5)
+        if not op.chain_ready:
+            pytest.skip("pack not chain-eligible at this size")
+        rng = np.random.default_rng(1)
+        b = np.zeros(op.m_pad, np.float32)
+        b[:n] = rng.standard_normal(n).astype(np.float32)
+        b_pad = jnp.asarray(b)
+        x = np.asarray(jax.jit(
+            lambda t: op.neumann_chain(t, 25)[0])(op.inv_diag * b_pad))
+        D = _dense_of(rows, cols, vals, (n, n))
+        res = np.linalg.norm(D @ x[:n] - b[:n]) / np.linalg.norm(b[:n])
+        assert res < 1e-5, res
+
+    def test_diag_split_semantics(self):
+        op, rows, cols, vals, n = self._op(seed=7)
+        assert op.diag_split
+        rng = np.random.default_rng(2)
+        x = np.zeros(op.m_pad, np.float32)
+        x[:n] = rng.standard_normal(n).astype(np.float32)
+        xj = jnp.asarray(x)
+        D = _dense_of(rows, cols, vals, (n, n))
+        y_full = np.asarray(jax.jit(op.matvec)(xj))[:n]
+        y_off = np.asarray(jax.jit(op.offdiag_matvec)(xj))[:n]
+        np.testing.assert_allclose(y_full, D @ x[:n], rtol=2e-5, atol=2e-5)
+        offD = D - np.diag(np.diag(D))
+        np.testing.assert_allclose(y_off, offD @ x[:n], rtol=2e-5, atol=2e-5)
+
+    def test_chain_with_residual(self):
+        op, rows, cols, vals, n = self._op(seed=9)
+        if not op.chain_ready:
+            pytest.skip("pack not chain-eligible at this size")
+        rng = np.random.default_rng(3)
+        b = np.zeros(op.m_pad, np.float32)
+        b[:n] = rng.standard_normal(n).astype(np.float32)
+        b_pad = jnp.asarray(b)
+        x, t_last, res = jax.jit(
+            lambda bp: op.neumann_chain(op.inv_diag * bp, 12, b=bp))(b_pad)
+        # res must equal b - A x computed independently
+        res_ref = np.asarray(b_pad - op.matvec(x))
+        np.testing.assert_allclose(np.asarray(res)[:n], res_ref[:n],
+                                   rtol=2e-5, atol=1e-6)
