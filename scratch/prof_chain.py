@@ -18,7 +18,7 @@ b_pad = jnp.asarray(b)
 
 @jax.jit
 def solve_chain(op, b_pad):
-    return op.neumann_chain(op.inv_diag * b_pad, iters)
+    return op.neumann_chain(op.inv_diag * b_pad, iters)[0]
 
 @jax.jit
 def solve_loop(op, b_pad):

@@ -261,7 +261,9 @@ def _phase2_body(read_slab, i3_slab, y_ref, db0: int, G2: int, Cb_pad: int,
             k = db // Cb_pad
             s_k = (k * ROT) % 128
             m = read_slab(ii)                              # (Bs, 128)
-            mp = pltpu.roll(m, -s_k, 1)                    # undo slot rotation
+            # undo the slot rotation; expressed as a non-negative left-over
+            # shift so STATIC s_k (unrolled chain) passes the mosaic check
+            mp = pltpu.roll(m, (128 - s_k) % 128, 1)
             mt = mp.T                                      # (dsr, Bs)
             if Bs < 128:
                 mt = jnp.concatenate(
@@ -407,6 +409,9 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                 o_scr[pl.ds(Bs, Ms - Bs), :, :] = jnp.zeros(
                     (Ms - Bs, Bd, 128), jnp.float32)
 
+        # phase loops are hardware fori_loops (G source blocks / G2 dest
+        # blocks per trip): measured FASTER than full static unrolling
+        # (108 vs 126 us/iter at n=100k — the unrolled body schedules worse)
         def p1_body(sg, carry):
             for g in range(G):
                 sb = sg * G + g
