@@ -150,9 +150,9 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int):
         P = min(max(2, int(env_p)), P_max)
     if env_k:
         K = min(max(max(8, K_cov), -(-int(env_k) // k_unit) * k_unit), K_max)
-    # round Bs up to a multiple of 4 so kernel 1 can process >=4 source
-    # blocks per grid step (DMA-size efficiency); extra blocks are all-zero
-    Bs = -(-(P * C_src // 128 + 1) // 4) * 4
+    # round Bs up to a multiple of 8 so phase-1 loops can process 8 source
+    # blocks per trip (extra blocks are all-zero)
+    Bs = -(-(P * C_src // 128 + 1) // 8) * 8
     Hs = Bs * 128
     Bd = K * Cb_pad
     banks = -(-Bd // 128)
@@ -382,7 +382,7 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     solve INCLUDING its residual verification is a single kernel launch.
     """
     bw = banks * 128
-    G = 4
+    G = 8
     while G > 1 and Bs % G:
         G //= 2
     P1 = Bs // G
