@@ -216,3 +216,23 @@ class TestNeumannChain:
         res_ref = np.asarray(b_pad - op.matvec(x))
         np.testing.assert_allclose(np.asarray(res)[:n], res_ref[:n],
                                    rtol=2e-5, atol=1e-6)
+
+    def test_solver_chain_chunks_match_loop(self):
+        """solvers/neumann.py uses chain chunks (check_every iterations per
+        kernel) when the operator is chain-eligible; results must match the
+        per-matvec driver."""
+        n = 500
+        rows, cols, vals = _dd_matrix(n, deg=5, seed=21)
+        A = Matrix.from_coo(rows, cols, vals, (n, n), prefer="xbar")
+        if not A.op().chain_ready:
+            pytest.skip("pack not chain-eligible at this size")
+        b = np.random.default_rng(4).standard_normal(n)
+        r_chain = solve(A, b, SolverOptions(method="neumann", epsilon=1e-6,
+                                            check_every=5))
+        r_loop = solve(A, b, SolverOptions(method="neumann", epsilon=1e-6,
+                                           check_every=1))
+        assert r_chain.converged and r_loop.converged
+        D = _dense_of(rows, cols, vals, (n, n))
+        for r in (r_chain, r_loop):
+            res = np.linalg.norm(D @ r.solution - b) / np.linalg.norm(b)
+            assert res < 2e-6, res
