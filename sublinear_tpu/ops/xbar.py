@@ -149,7 +149,10 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int):
     if env_p:
         P = min(max(2, int(env_p)), P_max)
     if env_k:
-        K = min(max(max(8, K_cov), -(-int(env_k) // k_unit) * k_unit), K_max)
+        # round the WHOLE clamped value to a k_unit multiple: max(8, K_cov)
+        # can be odd, and an odd K with k_unit=2 breaks the phase-2 pairing
+        # invariant (Bd % (2*Cb_pad) != 0) -> silently truncated dest blocks
+        K = min(-(-max(8, K_cov, int(env_k)) // k_unit) * k_unit, K_max)
     # round Bs up to a multiple of 8 so phase-1 loops can process 8 source
     # blocks per trip (extra blocks are all-zero)
     Bs = -(-(P * C_src // 128 + 1) // 8) * 8
@@ -238,10 +241,15 @@ def _k2_group(Bd: int, Cb_pad: int) -> int:
     """Dest blocks per phase-2 step: a multiple of 2*Cb_pad (so output-row
     pairs complete within a step) dividing Bd, capped by VMEM block size."""
     u = 2 * Cb_pad
+    if Bd % u:
+        raise ValueError(
+            f"xbar phase-2 pairing invariant violated: Bd={Bd} is not a "
+            f"multiple of 2*Cb_pad={u}; a non-divisor group would silently "
+            "drop dest blocks")
     g = u
     while g + u <= 32 and Bd % (g + u) == 0:
         g += u
-    return g if Bd % g == 0 else u
+    return g
 
 
 def _phase2_body(read_slab, i3_slab, y_ref, db0: int, G2: int, Cb_pad: int,
@@ -706,6 +714,12 @@ class XbarOperator:
         With ``b`` given, an extra fused matvec pass runs on the final x and
         a third output res = b - A x is returned (fixed-iteration solve +
         residual verification = ONE kernel launch)."""
+        if not self.chain_ready:
+            raise ValueError(
+                "neumann_chain requires a chain-ready pack (tail-free, "
+                "diag-split, square, fused-capable); this operator has "
+                f"tail_nnz={self.tail_nnz}, diag_split={self.diag_split}, "
+                f"fused={self.fused} — use the per-matvec solver path")
         t2d = term0.astype(jnp.float32).reshape(self.C_src, 128)
         inv2d = self.inv_diag.reshape(self.C_src, 128)
         if b is None:
