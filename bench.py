@@ -129,7 +129,11 @@ def bench_chain_neumann(A, b, r_short, r_long, iters, op=None):
                 prev, _ = carry
                 bs = b_pad * (1.0 + 0.01 * bump * (j + 1).astype(op.dtype)) + 1e-6 * prev
                 if use_chain:
-                    x, _t, r = op.neumann_chain(inv_d * bs, iters, b=bs)
+                    # res is the EXACT residual of x_{iters-1} (Neumann
+                    # residual identity, zero extra passes) — a strict
+                    # upper bound on the residual of the returned x_iters
+                    x, _t, r = op.neumann_chain(inv_d * bs, iters,
+                                                with_residual=True)
                     res = jnp.linalg.norm(r) / jnp.linalg.norm(bs)
                     return (x, res), res
                 term0 = inv_d * bs

@@ -78,9 +78,11 @@ def _interpret() -> bool:
     return backend() != "tpu"
 
 
-def _geometry(n: int, m: int, nnz: int, max_count_h: int):
+def _geometry(n: int, m: int, nnz: int, max_count_h: int,
+              p_force: int | None = None):
     """Shared geometry solver for pack + feasibility.  Returns None or a
-    dict of the static routing-grid parameters."""
+    dict of the static routing-grid parameters.  ``p_force`` pins the plane
+    count (used by pack_xbar's aggressive-P ladder) within structural caps."""
     if n <= 0 or m <= 0 or nnz <= 0:
         return None
     m_pad = -(-m // GRID_ROWS) * GRID_ROWS
@@ -146,6 +148,8 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int):
         P += 1
     # tuning overrides (bench exploration): force P / K within structural caps
     env_p, env_k = _os.environ.get("SLT_XBAR_P"), _os.environ.get("SLT_XBAR_K")
+    if p_force is not None:
+        P = min(max(2, p_force), P_max)
     if env_p:
         P = min(max(2, int(env_p)), P_max)
     if env_k:
@@ -179,17 +183,44 @@ def xbar_feasible(n: int, m: int, nnz: int, max_count_h: int) -> bool:
 
 
 def _k1_group(Bs: int) -> int:
-    """Source blocks per phase-1 grid step.  Larger groups mean larger
-    per-step DMA transfers (the phase is HBM-stream-bound); 8 measured
-    ~23% faster than 4 end-to-end at n=100k (scratch/prof_xbar.py)."""
+    """Source blocks per phase-1 trip.  Round 5 finding: the phases are
+    LATENCY-bound, not op-count-bound — Mosaic does not interleave the
+    independent per-block dependency chains (gather->mul->transpose->
+    gather->store) on its own, so wide trips with op-type staging
+    (_staged_phase1) buy ~2x; saturation at ~40-48 staged chains
+    (scratch/prof_r5_v3.py: G=8 74.5, G=24 66.2, G=40 64.9, G=120
+    64.5 us/iter at n=100k).  The default cap is 24, not 48: staged
+    intermediates live on the Mosaic scoped-vmem stack (16 MB hard limit)
+    and G=40 at the n=10k geometry blew it through the solver path
+    (scratch/prof_r5_oomsweep.py); G=24 costs ~1.7 us/iter at n=100k and
+    compiles on every ladder geometry."""
     import os
 
     env = os.environ.get("SLT_XBAR_G1")
-    cap = int(env) if env else 8
-    for g in (24, 16, 12, 8, 4, 2):
-        if g <= cap and Bs % g == 0:
+    cap = int(env) if env else 24
+    for g in range(min(Bs, cap), 0, -1):
+        if Bs % g == 0:
             return g
     return 1
+
+
+def _staged_phase1(G, banks, Bd, read_x, read_idx, read_vs, read_i2,
+                   write_out):
+    """One phase-1 trip over G source blocks with SPLIT op staging: all G
+    route-gather+mul+transpose chains are issued first, then all bank
+    gathers+stores.  The two halves of each block's chain are serially
+    dependent; across blocks they are independent — issuing them staged
+    lets the VPU overlap latencies (measured ~10 us/iter at n=100k vs the
+    per-block serial order; scratch/prof_r5_p1var.py)."""
+    t1s = []
+    for g in range(G):
+        prod = jnp.take_along_axis(read_x(g), read_idx(g), axis=1) * read_vs(g)
+        t1s.append(prod.T)                               # (ds, ss)
+    for g in range(G):
+        for t in range(banks):
+            o2b = jnp.take_along_axis(t1s[g], read_i2(g, t), axis=1)
+            w = min(128, Bd - t * 128)
+            write_out(g, t, o2b.T[:w])
 
 
 def _k1_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int):
@@ -201,18 +232,20 @@ def _k1_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int):
     G = _k1_group(Bs)
 
     def kernel(x_ref, is_ref, vs_ref, i2_ref, o_ref):
-        for g in range(G):
+        def read_x(g):
             sb = pl.program_id(0) * G + g
             h0 = (sb % cb_s) * 128
-            xb = x_ref[pl.ds(h0, 128), :]
-            idx = is_ref[g * 128:(g + 1) * 128, :]
-            prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[g * 128:(g + 1) * 128, :]
-            t1 = prod.T                                   # (ds, ss)
-            for t in range(banks):
-                it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128]
-                o2b = jnp.take_along_axis(t1, it, axis=1)  # (ds, db')
-                w = min(128, Bd - t * 128)
-                o_ref[g, t * 128:t * 128 + w, :] = o2b.T[:w, :]
+            return x_ref[pl.ds(h0, 128), :]
+
+        def write_out(g, t, v):
+            o_ref[g, t * 128:t * 128 + v.shape[0], :] = v
+
+        _staged_phase1(
+            G, banks, Bd, read_x,
+            lambda g: is_ref[g * 128:(g + 1) * 128, :],
+            lambda g: vs_ref[g * 128:(g + 1) * 128, :],
+            lambda g, t: i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128],
+            write_out)
 
     return pl.pallas_call(
         kernel,
@@ -252,32 +285,42 @@ def _k2_group(Bd: int, Cb_pad: int) -> int:
     return g
 
 
-def _phase2_body(read_slab, i3_slab, y_ref, db0: int, G2: int, Cb_pad: int,
+def _phase2_body(read_slab, i3_slab, y_ref, db0, nblk: int, Cb_pad: int,
                  Bs: int):
-    """Shared phase-2 step: drain G2 dest-block slabs into the y tile block.
+    """Staged phase-2 over nblk consecutive dest-block slabs.
 
-    Dest blocks db = k*Cb_pad + jc; the pair (jj, jj+Cb_pad) within a step
-    shares the output row tile jc = db % Cb_pad, so their routed values are
-    summed in registers and hit y once (halves the y read-modify-writes).
-    Callers with a major-padded o2t scratch pass Bs=128 and skip the
-    zero-pad concat (Mosaic's gather requires a 128-lane source)."""
+    Per slab the chain read->roll->transpose->gather is 4 serially-dependent
+    VPU ops; across slabs the chains are independent.  Round 5 measured that
+    issuing them op-type-staged (all reads, all rolls, all transposes, all
+    gathers, then the y accumulates) cuts phase 2 from ~48 to ~24 us/iter at
+    n=100k (scratch/prof_r5_p2var.py: serial 99, 4-chain 85, 14-chain
+    74.5 us/iter total) — Mosaic does not create this ILP on its own.
+
+    Dest blocks db = k*Cb_pad + jc; slabs with equal jc = db % Cb_pad share
+    an output row tile, so their routed values are summed in registers and
+    hit y once.  nblk must be a multiple of Cb_pad (callers use a multiple
+    of 2*Cb_pad).  db0 may be traced (fori steps) or static (peeled
+    remainder); the roll shift stays a traced-friendly expression.  Callers
+    with a major-padded o2t scratch pass Bs=128 and skip the zero-pad concat
+    (Mosaic's gather requires a 128-lane source)."""
+    ms = [read_slab(ii) for ii in range(nblk)]            # (Bs, 128) each
+    mps = []
+    for ii, m in enumerate(ms):
+        k = (db0 + ii) // Cb_pad
+        s_k = (k * ROT) % 128
+        # undo the slot rotation; non-negative left-over shift form so a
+        # STATIC s_k also passes the mosaic check
+        mps.append(pltpu.roll(m, (128 - s_k) % 128, 1))
+    mts = [mp.T for mp in mps]                            # (dsr, Bs)
+    if Bs < 128:
+        pad = jnp.zeros((128, 128 - Bs), jnp.float32)
+        mts = [jnp.concatenate([mt, pad], axis=1) for mt in mts]
+    o3s = [jnp.take_along_axis(mt, i3_slab(ii), axis=1)   # (dsr, rl)
+           for ii, mt in enumerate(mts)]
     for jj in range(Cb_pad):
         acc = None
-        for hh in range(G2 // Cb_pad):
-            ii = hh * Cb_pad + jj
-            db = db0 + ii
-            k = db // Cb_pad
-            s_k = (k * ROT) % 128
-            m = read_slab(ii)                              # (Bs, 128)
-            # undo the slot rotation; expressed as a non-negative left-over
-            # shift so STATIC s_k (unrolled chain) passes the mosaic check
-            mp = pltpu.roll(m, (128 - s_k) % 128, 1)
-            mt = mp.T                                      # (dsr, Bs)
-            if Bs < 128:
-                mt = jnp.concatenate(
-                    [mt, jnp.zeros((128, 128 - Bs), jnp.float32)], axis=1)
-            o3 = jnp.take_along_axis(mt, i3_slab(ii), axis=1)  # (dsr, rl)
-            acc = o3 if acc is None else acc + o3
+        for ii in range(jj, nblk, Cb_pad):
+            acc = o3s[ii] if acc is None else acc + o3s[ii]
         y_ref[jj * 128:(jj + 1) * 128, :] += acc
 
 
@@ -310,18 +353,22 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
 
         @pl.when(i < P1)
         def _():
-            for g in range(G):
+            def read_x(g):
                 sb = i * G + g
                 h0 = (sb % cb_s) * 128
-                xb = x_ref[pl.ds(h0, 128), :]
-                idx = is_ref[g * 128:(g + 1) * 128, :]
-                prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[g * 128:(g + 1) * 128, :]
-                t1 = prod.T                                   # (ds, ss)
-                for t in range(banks):
-                    it = i2_ref[g * 128:(g + 1) * 128, t * 128:(t + 1) * 128]
-                    o2b = jnp.take_along_axis(t1, it, axis=1)  # (ds, db')
-                    w = min(128, Bd - t * 128)
-                    o_scr[pl.ds(sb, 1), pl.ds(t * 128, w), :] = o2b.T[:w][None]
+                return x_ref[pl.ds(h0, 128), :]
+
+            def write_out(g, t, v):
+                sb = i * G + g
+                o_scr[pl.ds(sb, 1), pl.ds(t * 128, v.shape[0]), :] = v[None]
+
+            _staged_phase1(
+                G, banks, Bd, read_x,
+                lambda g: is_ref[g * 128:(g + 1) * 128, :],
+                lambda g: vs_ref[g * 128:(g + 1) * 128, :],
+                lambda g, t: i2_ref[g * 128:(g + 1) * 128,
+                                    t * 128:(t + 1) * 128],
+                write_out)
 
         @pl.when(i >= P1)
         def _():
@@ -385,27 +432,41 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     (/root/reference/src/solver/neumann.rs:154-213); this is the TPU-native
     inversion of that loop.
 
-    with_residual adds ONE extra grid step that runs the routed matvec on
-    the final x and emits res2d = b - R x - diag*x, so a fixed-iteration
-    solve INCLUDING its residual verification is a single kernel launch.
+    with_residual emits the EXACT residual of the penultimate iterate at
+    zero extra cost via the Neumann residual identity: with t_0 = D^-1 r_0,
+    t_{k+1} = -D^-1 R t_k and x_j = x_0 + sum_{k<=j} t_k,
+
+        A sum_{k<=j} t_k = r_0 + R t_j   =>   r_j = b - A x_j = -R t_j,
+
+    and R t_j IS the y the chain computes on pass j+1 — so pass ``iters-1``
+    already holds r_{iters-2}... specifically the last pass's y gives
+    res = -R t_{iters-1} = exact residual of x_{iters-1}, a strict upper
+    bound (by the contraction factor) on the residual of the RETURNED
+    x_iters.  Round 4 spent a full extra matvec pass on this (13 passes for
+    a 12-iteration verified solve); the identity makes it free.
     """
     bw = banks * 128
-    G = 8
-    while G > 1 and Bs % G:
-        G //= 2
+    G = _k1_group(Bs)
     P1 = Bs // G
-    G2 = _k2_group(Bd, Cb_pad)
-    P2 = Bd // G2
+    # phase-2 staging width: the widest multiple of the pairing unit that
+    # stays near the measured ILP saturation (~14-32 chains); the remainder
+    # is peeled as one static step so any Bd works
+    u2 = 2 * Cb_pad
+    nb_cap = int(_os.environ.get("SLT_XBAR_NB", 32))
+    nb = max(u2, (nb_cap // u2) * u2)
+    nb = min(nb, (Bd // u2) * u2)
+    P2 = Bd // nb
+    rem2 = Bd - P2 * nb
     Ms = 128 if Bs < 128 else Bs   # pad majors: no 128-lane concat in phase 2
 
     def kernel(*refs):
         if with_residual:
-            (t0_ref, inv_ref, b_ref, diag_ref, is_ref, vs_ref, i2_ref,
-             i3_ref, acc_ref, tout_ref, res_ref, term_scr, y_scr,
-             o_scr) = refs
+            (t0_ref, inv_ref, is_ref, vs_ref, i2_ref, i3_ref, acc_ref,
+             tout_ref, res_ref, term_scr, y_scr, o_scr) = refs
         else:
             (t0_ref, inv_ref, is_ref, vs_ref, i2_ref, i3_ref, acc_ref,
              tout_ref, term_scr, y_scr, o_scr) = refs
+            res_ref = None
         j = pl.program_id(0)
 
         @pl.when(j == 0)
@@ -417,62 +478,59 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                 o_scr[pl.ds(Bs, Ms - Bs), :, :] = jnp.zeros(
                     (Ms - Bs, Bd, 128), jnp.float32)
 
-        # phase loops are hardware fori_loops (G source blocks / G2 dest
-        # blocks per trip): measured FASTER than full static unrolling
-        # (108 vs 126 us/iter at n=100k — the unrolled body schedules worse)
+        # phase trips are hardware fori_loops over WIDE staged groups
+        # (G source blocks / nb dest blocks per trip; round-5 staging
+        # results in _staged_phase1/_phase2_body docstrings)
         def p1_body(sg, carry):
-            for g in range(G):
+            def read_x(g):
                 sb = sg * G + g
                 h0 = jax.lax.rem(sb, cb_s) * 128
-                xb = term_scr[pl.ds(h0, 128), :]
-                r0 = sb * 128
-                idx = is_ref[pl.ds(r0, 128), :]
-                prod = jnp.take_along_axis(xb, idx, axis=1) * vs_ref[pl.ds(r0, 128), :]
-                t1 = prod.T
-                for t in range(banks):
-                    it = i2_ref[pl.ds(r0, 128), t * 128:(t + 1) * 128]
-                    o2b = jnp.take_along_axis(t1, it, axis=1)
-                    w = min(128, Bd - t * 128)
-                    o_scr[pl.ds(sb, 1), pl.ds(t * 128, w), :] = o2b.T[:w][None]
+                return term_scr[pl.ds(h0, 128), :]
+
+            def write_out(g, t, v):
+                sb = sg * G + g
+                o_scr[pl.ds(sb, 1), pl.ds(t * 128, v.shape[0]), :] = v[None]
+
+            _staged_phase1(
+                G, banks, Bd, read_x,
+                lambda g: is_ref[pl.ds((sg * G + g) * 128, 128), :],
+                lambda g: vs_ref[pl.ds((sg * G + g) * 128, 128), :],
+                lambda g, t: i2_ref[pl.ds((sg * G + g) * 128, 128),
+                                    t * 128:(t + 1) * 128],
+                write_out)
             return carry
 
         jax.lax.fori_loop(0, P1, p1_body, 0, unroll=False)
 
-        def p2_body(j2, carry):
-            db0 = j2 * G2
-
+        def p2_block(db0, width):
             def read_slab(ii):
                 return o_scr[:, pl.ds(db0 + ii, 1), :].reshape(Ms, 128)
 
             _phase2_body(read_slab,
                          lambda ii: i3_ref[pl.ds((db0 + ii) * 128, 128), :],
-                         y_scr, db0, G2, Cb_pad, Ms)
+                         y_scr, db0, width, Cb_pad, Ms)
+
+        def p2_body(j2, carry):
+            p2_block(j2 * nb, nb)
             return carry
 
         jax.lax.fori_loop(0, P2, p2_body, 0, unroll=False)
+        if rem2:
+            p2_block(P2 * nb, rem2)
 
-        @pl.when(j < iters)
+        t_new = -(inv_ref[:] * y_scr[:])
+        acc_ref[:] = acc_ref[:] + t_new
+        term_scr[:] = t_new
+
+        @pl.when(j == iters - 1)
         def _():
-            t_new = -(inv_ref[:] * y_scr[:])
-            acc2 = acc_ref[:] + t_new
-            acc_ref[:] = acc2
+            tout_ref[:] = t_new
             if with_residual:
-                # seed the extra residual pass with x itself on the last
-                # real iteration so step j==iters computes y = R x
-                term_scr[:] = jnp.where(j == iters - 1, acc2, t_new)
-            else:
-                term_scr[:] = t_new
-            y_scr[:] = jnp.zeros_like(y_scr)
+                # Neumann residual identity: y_scr = R t_{iters-1} here, so
+                # -y_scr is the EXACT residual of x_{iters-1} (see docstring)
+                res_ref[:] = -y_scr[:]
 
-            @pl.when(j == iters - 1)
-            def _():
-                tout_ref[:] = t_new
-
-        if with_residual:
-            @pl.when(j == iters)
-            def _():
-                res_ref[:] = (b_ref[:] - y_scr[:]
-                              - diag_ref[:] * acc_ref[:])
+        y_scr[:] = jnp.zeros_like(y_scr)
 
     Hs = Bs * 128
     table_bytes = (2 * Hs * 128) + (4 * Hs * 128) + (2 * Hs * bw) \
@@ -482,8 +540,6 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                                memory_space=pltpu.VMEM)
     vec_out = lambda: jax.ShapeDtypeStruct((C_src, 128), jnp.float32)
     in_specs = [vec(), vec()]
-    if with_residual:
-        in_specs += [vec(), vec()]
     in_specs += [
         pl.BlockSpec((Hs, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((Hs, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
@@ -494,7 +550,7 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     n_out = 3 if with_residual else 2
     return pl.pallas_call(
         kernel,
-        grid=(iters + 1,) if with_residual else (iters,),
+        grid=(iters,),
         in_specs=in_specs,
         out_specs=tuple(vec() for _ in range(n_out)),
         out_shape=tuple(vec_out() for _ in range(n_out)),
@@ -704,16 +760,21 @@ class XbarOperator:
                 and self.n_pad == self.m_pad
                 and self.Cb_pad * 16384 == self.n_pad)
 
-    def neumann_chain(self, term0: jax.Array, iters: int, b=None):
+    def neumann_chain(self, term0: jax.Array, iters: int,
+                      with_residual: bool = False):
         """Runs ``iters`` Neumann iterations as ONE Pallas kernel (see
         _chain_call): returns ``(acc, last_term)`` with
         acc = term0 + sum_{j=1..iters} (-D^-1 R)^j term0 and
         last_term = (-D^-1 R)^iters term0, both m_pad-length.  Seeding with
         the CURRENT term mid-series continues the series: the solver's
         chunked driver uses x' = x + (acc - term), term' = last_term.
-        With ``b`` given, an extra fused matvec pass runs on the final x and
-        a third output res = b - A x is returned (fixed-iteration solve +
-        residual verification = ONE kernel launch)."""
+
+        With ``with_residual`` a third output rides along at ZERO extra
+        passes (the Neumann residual identity, see _chain_call):
+        res = -R t_{iters-1}, the EXACT residual of the penultimate
+        iterate — for a solve seeded with term0 = D^-1 b this is
+        b - A x_{iters-1}, a strict upper bound (by the contraction
+        factor) on the residual of the returned acc = x_iters."""
         if not self.chain_ready:
             raise ValueError(
                 "neumann_chain requires a chain-ready pack (tail-free, "
@@ -722,20 +783,17 @@ class XbarOperator:
                 f"fused={self.fused} — use the per-matvec solver path")
         t2d = term0.astype(jnp.float32).reshape(self.C_src, 128)
         inv2d = self.inv_diag.reshape(self.C_src, 128)
-        if b is None:
+        if not with_residual:
             acc, term = _chain_call(
                 self.C_src, self.Bs, self.Bd, self.banks, self.cb_s,
                 self.Cb_pad, int(iters))(
                 t2d, inv2d, self.idx_src, self.val_src, self.idx2, self.idx3)
             return (acc.reshape(-1).astype(term0.dtype),
                     term.reshape(-1).astype(term0.dtype))
-        b2d = b.astype(jnp.float32).reshape(self.C_src, 128)
-        d2d = self.diag.reshape(self.C_src, 128)
         acc, term, res = _chain_call(
             self.C_src, self.Bs, self.Bd, self.banks, self.cb_s,
             self.Cb_pad, int(iters), with_residual=True)(
-            t2d, inv2d, b2d, d2d, self.idx_src, self.val_src, self.idx2,
-            self.idx3)
+            t2d, inv2d, self.idx_src, self.val_src, self.idx2, self.idx3)
         return (acc.reshape(-1).astype(term0.dtype),
                 term.reshape(-1).astype(term0.dtype),
                 res.reshape(-1).astype(term0.dtype))
@@ -910,7 +968,31 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
     if g is None:
         return None
     g["shape_n"] = n
-    tabs = _route_tables(rows_r, cols_r, vals_r, n, g, seed, rounds)
+    # aggressive-P ladder: the staged phase-1 cost scales with the source
+    # block count Bs ~ P, so try packs at the highest source load the
+    # router can still route TAIL-FREE, stepping back toward the default
+    # geometry (round 5: n=100k P 16->13 cut the chain kernel 64.5->57.4
+    # us/iter).  Ladder packs that leave a tail are discarded.
+    # the ladder floor relaxes the default geometry's per-window occupancy
+    # headroom (counts/96 + 1) to ~0.875 window load — the systematic
+    # second-pass router packs ~0.8 windows tail-free, while pushing to
+    # ~0.94 made the first rung an expensive guaranteed-tail route attempt
+    P_lo = max(2, -(-int(counts_h.max()) // 112),
+               -(-nnz_r // int(0.88 * g["C_src"] * 128)))
+    tabs = None
+    for p_try in range(max(P_lo, g["P"] - 4), g["P"]):
+        g_try = _geometry(n, m, nnz_r, int(counts_h.max()), p_force=p_try)
+        if (g_try is None or g_try["P"] != p_try
+                or g_try["Bs"] >= g["Bs"] or g_try["Bd"] > g["Bd"]):
+            continue
+        g_try["shape_n"] = n
+        tabs_try = _route_tables(rows_r, cols_r, vals_r, n, g_try, seed,
+                                 rounds)
+        if tabs_try[-1] is not None and tabs_try[-1].all():
+            g, tabs = g_try, tabs_try
+            break
+    if tabs is None:
+        tabs = _route_tables(rows_r, cols_r, vals_r, n, g, seed, rounds)
     k_unit = 2 if g["Cb"] <= 8 else 1
     if tabs[-1] is not None and not tabs[-1].all():
         # retry once for a tail-free pack (enables the chained kernel);

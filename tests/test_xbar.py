@@ -203,6 +203,9 @@ class TestNeumannChain:
         np.testing.assert_allclose(y_off, offD @ x[:n], rtol=2e-5, atol=2e-5)
 
     def test_chain_with_residual(self):
+        """The residual-identity output: res = -R t_{iters-1} must equal
+        b - A x_{iters-1} (the EXACT residual of the penultimate iterate)
+        and must upper-bound the residual of the returned x_iters."""
         op, rows, cols, vals, n = self._op(seed=9)
         if not op.chain_ready:
             pytest.skip("pack not chain-eligible at this size")
@@ -210,12 +213,19 @@ class TestNeumannChain:
         b = np.zeros(op.m_pad, np.float32)
         b[:n] = rng.standard_normal(n).astype(np.float32)
         b_pad = jnp.asarray(b)
+        iters = 12
         x, t_last, res = jax.jit(
-            lambda bp: op.neumann_chain(op.inv_diag * bp, 12, b=bp))(b_pad)
-        # res must equal b - A x computed independently
-        res_ref = np.asarray(b_pad - op.matvec(x))
+            lambda bp: op.neumann_chain(op.inv_diag * bp, iters,
+                                        with_residual=True))(b_pad)
+        # independent penultimate iterate: res == b - A x_{iters-1}
+        x_prev, _ = jax.jit(
+            lambda bp: op.neumann_chain(op.inv_diag * bp, iters - 1))(b_pad)
+        res_ref = np.asarray(b_pad - op.matvec(x_prev))
         np.testing.assert_allclose(np.asarray(res)[:n], res_ref[:n],
                                    rtol=2e-5, atol=1e-6)
+        # and it bounds the returned iterate's true residual
+        res_final = np.linalg.norm(np.asarray(b_pad - op.matvec(x))[:n])
+        assert res_final <= np.linalg.norm(np.asarray(res)[:n]) * 1.01 + 1e-6
 
     def test_solver_chain_chunks_match_loop(self):
         """solvers/neumann.py uses chain chunks (check_every iterations per
