@@ -188,7 +188,7 @@ def bench_batch_point(n=100_000, density=1e-4, B=128):
             def one(carry, j):
                 prev, _ = carry
                 Bj = Bd * (1.0 + 0.01 * j) + 1e-6 * prev
-                X, k, cres = _neumann_batch_run(op, Bj, jnp.zeros_like(Bj), thr * 1.02, jnp.int32(200))
+                X, k, cres = _neumann_batch_run(op, Bj, jnp.zeros_like(Bj), thr * 1.02, jnp.int32(200), x0_zero=True)
                 return (X, jnp.max(cres)), jnp.max(cres)
             (Xf, _), r = jax.lax.scan(one, (jnp.zeros_like(Bd), 0.0), jnp.arange(reps, dtype=op.dtype))
             return Xf[0, 0] + 0.0 * jnp.sum(r), jnp.max(r)

@@ -86,6 +86,15 @@ class EllOperator:
             Y = Y + spmv.coo_matmat(self.tail_vals, self.tail_rows, self.tail_cols, X, self.n_pad)
         return Y
 
+    def matmat_bmajor(self, XT: jax.Array) -> jax.Array:
+        """Batch-major product (B, m_pad) -> (B, n_pad); see
+        spmv.ell_matmat_bmajor for why this layout is faster."""
+        YT = spmv.ell_matmat_bmajor(self.values, self.cols, XT)
+        if self.tail_nnz:
+            YT = YT + spmv.coo_matmat_bmajor(
+                self.tail_vals, self.tail_rows, self.tail_cols, XT, self.n_pad)
+        return YT
+
     def offdiag_matvec(self, x: jax.Array) -> jax.Array:
         """(A - D) @ x — the Neumann-series iteration product
         (reference: src/core/solver.ts:263-273, src/solver/neumann.rs:280-299)."""
@@ -150,17 +159,30 @@ def _diag_arrays(csr: CSR, n_pad: int, dtype):
 
 
 def choose_slot_cap(row_nnz: np.ndarray) -> int:
-    """ELL slot cap: cover ~98% of rows densely; hub-row overflow goes to the
-    COO tail.  Keeps the gather volume O(K * n) instead of O(max_nnz * n)."""
+    """ELL slot cap minimizing measured device cost: slot entries cost
+    K*n gather work (the gather engine charges ~2 ns per row REGARDLESS of
+    whether the slot is padding), a COO-tail entry ~2-3 slot entries
+    (segment_sum; both the batch einsum and the single-RHS wide path
+    measured in this ratio — scratch/prof_r5_spmm4.py: n=100k K=27 full
+    coverage 5.47 ms/SpMM vs K=12 + 7.6% tail 3.97 ms).  Minimize
+    K*n + 3*tail(K) over K via degree-histogram suffix sums."""
     if row_nnz.size == 0:
         return 1
     mx = int(row_nnz.max())
     if mx <= 1:
         return max(mx, 1)
-    p98 = int(np.percentile(row_nnz, 98.0))
-    if mx <= max(16, 2 * p98):
-        return mx
-    return max(p98, 1)
+    hist = np.bincount(row_nnz.astype(np.int64), minlength=mx + 1).astype(np.int64)
+    d = np.arange(mx + 1, dtype=np.int64)
+    # suffix sums: S1[k] = #entries' rows with deg >= k, S2[k] = sum of degs
+    s1 = np.cumsum(hist[::-1])[::-1]          # S1[k] = sum_{d>=k} hist[d]
+    s2 = np.cumsum((d * hist)[::-1])[::-1]    # S2[k] = sum_{d>=k} d*hist[d]
+    ks = np.arange(1, mx + 1)
+    # tail(K) = sum_{d>K} (d-K)*hist[d] = S2[K+1] - K*S1[K+1]
+    s1p = np.append(s1, 0)[ks + 1]            # S1[k+1]
+    s2p = np.append(s2, 0)[ks + 1]
+    tail = s2p - ks * s1p
+    cost = ks * int(row_nnz.size) + 3 * tail
+    return int(ks[np.argmin(cost)])
 
 
 def ell_from_csr(csr: CSR, dtype=None, slot_cap: int | None = None) -> EllOperator:

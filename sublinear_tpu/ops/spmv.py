@@ -66,9 +66,37 @@ def ell_matmat(values: jax.Array, cols: jax.Array, X: jax.Array) -> jax.Array:
 
     Replaces the reference's sequential batch solve loop
     (/root/reference/src/mcp/tools/solver.ts:291-321) with one fused product.
+
+    take+einsum measured BEST on device among five formulations (einsum
+    5.48, slot-scan 8.35, grouped scans 6.2-6.6, add-tree 6.56 ms/SpMM at
+    n=100k/K=27/B=128, device-span timed — scratch/prof_r5_spmm3.py): XLA's
+    materialized gather feeds a well-pipelined reduce, while running-
+    accumulator forms pay the (n,B) accumulator round-trip per slot.
     """
     gathered = jnp.take(X, cols, axis=0)  # (K, n_pad, B)
     return jnp.einsum("kn,knb->nb", values, gathered, precision=_PREC)
+
+
+def ell_matmat_bmajor(values: jax.Array, cols: jax.Array, XT: jax.Array) -> jax.Array:
+    """YT = (A @ X)^T for batch-major RHS.  XT: (B, m_pad) -> (B, n_pad).
+
+    The batch-major layout gathers along LANES (XT[:, col]) instead of rows:
+    measured 3.03 vs 3.97 ms/SpMM at n=100k/K=12/B=128 (24% — the gather
+    engine moves lane-direction elements faster than 512-byte row DMAs;
+    scratch/prof_r5_spmm4.py).  The batched Neumann/CG drivers keep ALL
+    iteration state in this layout; only solve entry/exit transposes."""
+    g = jnp.take(XT, cols, axis=1)        # (B, K, n_pad)
+    return jnp.einsum("kn,bkn->bn", values, g, precision=_PREC)
+
+
+def coo_matmat_bmajor(
+    vals: jax.Array, rows: jax.Array, cols: jax.Array, XT: jax.Array, n_pad: int
+) -> jax.Array:
+    """Tail product in batch-major layout: (B, m_pad) -> (B, n_pad)."""
+    prod = vals[None, :] * jnp.take(XT, cols, axis=1)   # (B, T)
+    yT = jax.ops.segment_sum(prod.T, rows, num_segments=n_pad,
+                             indices_are_sorted=True)   # (n_pad, B)
+    return yT.T
 
 
 def coo_matvec(

@@ -79,10 +79,14 @@ def _interpret() -> bool:
 
 
 def _geometry(n: int, m: int, nnz: int, max_count_h: int,
-              p_force: int | None = None):
+              p_force: int | None = None, max_class: int = 0):
     """Shared geometry solver for pack + feasibility.  Returns None or a
     dict of the static routing-grid parameters.  ``p_force`` pins the plane
-    count (used by pack_xbar's aggressive-P ladder) within structural caps."""
+    count (used by pack_xbar's aggressive-P ladder) within structural caps.
+    ``max_class`` is the LARGEST (row-chunk, column-window) entry class —
+    structured matrices (stencils) concentrate entries into few classes, so
+    capacity sizing by the average alone under-provisions P*K and routing
+    collapses (round 5: the 2D 5-point Laplacian packed None)."""
     if n <= 0 or m <= 0 or nnz <= 0:
         return None
     m_pad = -(-m // GRID_ROWS) * GRID_ROWS
@@ -130,6 +134,23 @@ def _geometry(n: int, m: int, nnz: int, max_count_h: int,
     if P * K < need:
         k_need = -(-need // P)
         K = min(-(-k_need // k_unit) * k_unit, K_max)
+    # hard per-class capacity: entries of ONE (rh, h-window) class compete
+    # for exactly P*K cells, so the LARGEST class must fit with slack.
+    # ~0.5 class load measured necessary: cells are SHARED across classes
+    # (different rh alias onto the same ds for different k), so stencil
+    # patterns where EVERY diagonal-window class is full need 2x headroom
+    # (5-point Laplacian: tail-free at P*K=544 for max_class=254, 30%
+    # tail at P*K=312)
+    if max_class:
+        need_mx = 2 * int(max_class)
+        if P * K < need_mx:
+            cost_p = 530.0 * C_src / 128.0
+            cost_k = 300.0 * Cb_pad
+            K_bal = int(np.sqrt(need_mx * cost_p / cost_k)) + 1
+            K = min(max(K, -(-K_bal // k_unit) * k_unit), K_max)
+            P = min(max(P, -(-need_mx // K)), P_max)
+        if P * K < need_mx:
+            return None
     for _ in range(8):
         Hs = P * C_src + 128      # +1 trailing all-zero block (idx3 default)
         Bs = Hs // 128
@@ -411,6 +432,61 @@ def _fused_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     )
 
 
+def _routed_pass(src_scr, y_scr, o_scr, is_ref, vs_ref, i2_ref, i3_ref,
+                 G, P1, nb, P2, rem2, banks, Bd, cb_s, Cb_pad, Ms):
+    """One full routed matvec pass inside a chain kernel:
+    y_scr += R @ src_scr (caller zeroes y_scr beforehand).  Phase trips are
+    hardware fori_loops over WIDE staged groups (G source blocks / nb dest
+    blocks per trip; round-5 staging results in the _staged_phase1 /
+    _phase2_body docstrings)."""
+    def p1_body(sg, carry):
+        def read_x(g):
+            sb = sg * G + g
+            h0 = jax.lax.rem(sb, cb_s) * 128
+            return src_scr[pl.ds(h0, 128), :]
+
+        def write_out(g, t, v):
+            sb = sg * G + g
+            o_scr[pl.ds(sb, 1), pl.ds(t * 128, v.shape[0]), :] = v[None]
+
+        _staged_phase1(
+            G, banks, Bd, read_x,
+            lambda g: is_ref[pl.ds((sg * G + g) * 128, 128), :],
+            lambda g: vs_ref[pl.ds((sg * G + g) * 128, 128), :],
+            lambda g, t: i2_ref[pl.ds((sg * G + g) * 128, 128),
+                                t * 128:(t + 1) * 128],
+            write_out)
+        return carry
+
+    jax.lax.fori_loop(0, P1, p1_body, 0, unroll=False)
+
+    def p2_block(db0, width):
+        def read_slab(ii):
+            return o_scr[:, pl.ds(db0 + ii, 1), :].reshape(Ms, 128)
+
+        _phase2_body(read_slab,
+                     lambda ii: i3_ref[pl.ds((db0 + ii) * 128, 128), :],
+                     y_scr, db0, width, Cb_pad, Ms)
+
+    def p2_body(j2, carry):
+        p2_block(j2 * nb, nb)
+        return carry
+
+    jax.lax.fori_loop(0, P2, p2_body, 0, unroll=False)
+    if rem2:
+        p2_block(P2 * nb, rem2)
+
+
+def _chain_geometry(Bs: int, Bd: int, Cb_pad: int):
+    """Shared staging-geometry solver for the chain kernels."""
+    G = _k1_group(Bs)
+    u2 = 2 * Cb_pad
+    nb_cap = int(_os.environ.get("SLT_XBAR_NB", 32))
+    nb = max(u2, (nb_cap // u2) * u2)
+    nb = min(nb, (Bd // u2) * u2)
+    return G, Bs // G, nb, Bd // nb, Bd - (Bd // nb) * nb
+
+
 def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                 Cb_pad: int, iters: int, with_residual: bool = False):
     """FULL Neumann chain in ONE pallas_call:
@@ -446,17 +522,7 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     a 12-iteration verified solve); the identity makes it free.
     """
     bw = banks * 128
-    G = _k1_group(Bs)
-    P1 = Bs // G
-    # phase-2 staging width: the widest multiple of the pairing unit that
-    # stays near the measured ILP saturation (~14-32 chains); the remainder
-    # is peeled as one static step so any Bd works
-    u2 = 2 * Cb_pad
-    nb_cap = int(_os.environ.get("SLT_XBAR_NB", 32))
-    nb = max(u2, (nb_cap // u2) * u2)
-    nb = min(nb, (Bd // u2) * u2)
-    P2 = Bd // nb
-    rem2 = Bd - P2 * nb
+    G, P1, nb, P2, rem2 = _chain_geometry(Bs, Bd, Cb_pad)
     Ms = 128 if Bs < 128 else Bs   # pad majors: no 128-lane concat in phase 2
 
     def kernel(*refs):
@@ -478,45 +544,8 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
                 o_scr[pl.ds(Bs, Ms - Bs), :, :] = jnp.zeros(
                     (Ms - Bs, Bd, 128), jnp.float32)
 
-        # phase trips are hardware fori_loops over WIDE staged groups
-        # (G source blocks / nb dest blocks per trip; round-5 staging
-        # results in _staged_phase1/_phase2_body docstrings)
-        def p1_body(sg, carry):
-            def read_x(g):
-                sb = sg * G + g
-                h0 = jax.lax.rem(sb, cb_s) * 128
-                return term_scr[pl.ds(h0, 128), :]
-
-            def write_out(g, t, v):
-                sb = sg * G + g
-                o_scr[pl.ds(sb, 1), pl.ds(t * 128, v.shape[0]), :] = v[None]
-
-            _staged_phase1(
-                G, banks, Bd, read_x,
-                lambda g: is_ref[pl.ds((sg * G + g) * 128, 128), :],
-                lambda g: vs_ref[pl.ds((sg * G + g) * 128, 128), :],
-                lambda g, t: i2_ref[pl.ds((sg * G + g) * 128, 128),
-                                    t * 128:(t + 1) * 128],
-                write_out)
-            return carry
-
-        jax.lax.fori_loop(0, P1, p1_body, 0, unroll=False)
-
-        def p2_block(db0, width):
-            def read_slab(ii):
-                return o_scr[:, pl.ds(db0 + ii, 1), :].reshape(Ms, 128)
-
-            _phase2_body(read_slab,
-                         lambda ii: i3_ref[pl.ds((db0 + ii) * 128, 128), :],
-                         y_scr, db0, width, Cb_pad, Ms)
-
-        def p2_body(j2, carry):
-            p2_block(j2 * nb, nb)
-            return carry
-
-        jax.lax.fori_loop(0, P2, p2_body, 0, unroll=False)
-        if rem2:
-            p2_block(P2 * nb, rem2)
+        _routed_pass(term_scr, y_scr, o_scr, is_ref, vs_ref, i2_ref, i3_ref,
+                     G, P1, nb, P2, rem2, banks, Bd, cb_s, Cb_pad, Ms)
 
         t_new = -(inv_ref[:] * y_scr[:])
         acc_ref[:] = acc_ref[:] + t_new
@@ -562,6 +591,113 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=min(table_bytes + o2t_bytes + 16 * 1024 * 1024,
+                                 120 * 1024 * 1024),
+        ),
+        interpret=_interpret(),
+    )
+
+
+def _cg_chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
+                   Cb_pad: int, iters: int):
+    """``iters`` Jacobi-preconditioned CG iterations as ONE pallas_call —
+    the chain-kernel architecture (VMEM-resident tables, scratch-carried
+    state) applied to the symmetric workhorse
+    (/root/reference/src/optimized_solver.rs:167-350).  Each grid step:
+
+        q = R p + diag*p          (routed pass + diagonal epilogue)
+        alpha = rz / (p.q)        (dot reduced on-chip, carried in SMEM)
+        x += alpha p; r -= alpha q
+        z = D^-1 r; rz' = r.z; beta = rz'/rz; p = z + beta p
+
+    CG state (x, r, p) lives in VMEM scratch for the whole chain; the rz
+    scalar carries in SMEM.  The final step emits the full state plus
+    ||r||^2 so a chunked driver can check convergence and continue the
+    recurrence exactly (same chunking contract as neumann_chain)."""
+    bw = banks * 128
+    G, P1, nb, P2, rem2 = _chain_geometry(Bs, Bd, Cb_pad)
+    Ms = 128 if Bs < 128 else Bs
+    TINY = 1e-30
+
+    def kernel(x0_ref, r0_ref, p0_ref, rz0_ref, inv_ref, diag_ref,
+               is_ref, vs_ref, i2_ref, i3_ref,
+               x_out, r_out, p_out, rz_out, res2_out,
+               x_scr, r_scr, p_scr, y_scr, o_scr, rz_smem):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            x_scr[:] = x0_ref[:]
+            r_scr[:] = r0_ref[:]
+            p_scr[:] = p0_ref[:]
+            rz_smem[0] = rz0_ref[0]
+            y_scr[:] = jnp.zeros_like(y_scr)
+            if Ms > Bs:
+                o_scr[pl.ds(Bs, Ms - Bs), :, :] = jnp.zeros(
+                    (Ms - Bs, Bd, 128), jnp.float32)
+
+        _routed_pass(p_scr, y_scr, o_scr, is_ref, vs_ref, i2_ref, i3_ref,
+                     G, P1, nb, P2, rem2, banks, Bd, cb_s, Cb_pad, Ms)
+
+        p = p_scr[:]
+        q = y_scr[:] + diag_ref[:] * p
+        rz = rz_smem[0]
+        pq = jnp.sum(p * q)
+        alpha = rz / jnp.maximum(pq, TINY)
+        x = x_scr[:] + alpha * p
+        r = r_scr[:] - alpha * q
+        z = inv_ref[:] * r
+        rz2 = jnp.sum(r * z)
+        beta = rz2 / jnp.maximum(rz, TINY)
+        x_scr[:] = x
+        r_scr[:] = r
+        p_scr[:] = z + beta * p
+        rz_smem[0] = rz2
+        y_scr[:] = jnp.zeros_like(y_scr)
+
+        @pl.when(j == iters - 1)
+        def _():
+            x_out[:] = x
+            r_out[:] = r
+            p_out[:] = z + beta * p
+            rz_out[0] = rz2
+            res2_out[0] = jnp.sum(r * r)
+
+    Hs = Bs * 128
+    table_bytes = (2 * Hs * 128) + (4 * Hs * 128) + (2 * Hs * bw) \
+        + (2 * Bd * 128 * 128)
+    o2t_bytes = Ms * Bd * 128 * 4
+    vec = lambda: pl.BlockSpec((C_src, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM)
+    vec_out = lambda: jax.ShapeDtypeStruct((C_src, 128), jnp.float32)
+    smem = lambda: pl.BlockSpec((1,), lambda j: (0,),
+                                memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(iters,),
+        in_specs=[vec(), vec(), vec(), smem(), vec(), vec(),
+                  pl.BlockSpec((Hs, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Hs, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Hs, bw), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((Bd * 128, 128), lambda j: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(vec(), vec(), vec(), smem(), smem()),
+        out_shape=(vec_out(), vec_out(), vec_out(),
+                   jax.ShapeDtypeStruct((1,), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((C_src, 128), jnp.float32),         # x
+            pltpu.VMEM((C_src, 128), jnp.float32),         # r
+            pltpu.VMEM((C_src, 128), jnp.float32),         # p
+            pltpu.VMEM((Cb_pad * 128, 128), jnp.float32),  # y
+            pltpu.VMEM((Ms, Bd, 128), jnp.float32),        # o2t
+            pltpu.SMEM((1,), jnp.float32),                 # rz carry
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=min(table_bytes + o2t_bytes + 20 * 1024 * 1024,
                                  120 * 1024 * 1024),
         ),
         interpret=_interpret(),
@@ -798,6 +934,31 @@ class XbarOperator:
                 term.reshape(-1).astype(term0.dtype),
                 res.reshape(-1).astype(term0.dtype))
 
+    def cg_chain(self, x, r, p, rz, iters: int):
+        """Runs ``iters`` Jacobi-PCG iterations as ONE Pallas kernel (see
+        _cg_chain_call).  State vectors are m_pad-length; ``rz`` is the
+        scalar r.z carry.  Returns (x, r, p, rz, res2) where res2 = ||r||^2
+        of the final iterate — seeding the next call with the returned state
+        continues the recurrence exactly (chunked driver in solvers/cg.py)."""
+        if not self.chain_ready:
+            raise ValueError(
+                "cg_chain requires a chain-ready pack (tail-free, diag-split,"
+                f" square, fused-capable); tail_nnz={self.tail_nnz}, "
+                f"diag_split={self.diag_split}, fused={self.fused}")
+        shp = (self.C_src, 128)
+        dt = x.dtype
+        x2, r2, p2 = (v.astype(jnp.float32).reshape(shp) for v in (x, r, p))
+        inv2d = self.inv_diag.reshape(shp)
+        d2d = self.diag.reshape(shp)
+        rz1 = jnp.asarray(rz, jnp.float32).reshape(1)
+        xo, ro, po, rzo, res2 = _cg_chain_call(
+            self.C_src, self.Bs, self.Bd, self.banks, self.cb_s,
+            self.Cb_pad, int(iters))(
+            x2, r2, p2, rz1, inv2d, d2d, self.idx_src, self.val_src,
+            self.idx2, self.idx3)
+        return (xo.reshape(-1).astype(dt), ro.reshape(-1).astype(dt),
+                po.reshape(-1).astype(dt), rzo[0], res2[0])
+
     def as_dense(self) -> jax.Array:  # pragma: no cover - debugging aid
         eye = jnp.eye(self.m_pad, dtype=self.dtype)
         return self.matmat(eye)
@@ -964,7 +1125,12 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
     h_all = (cols_r >> 7).astype(np.int64)
     m_pad_probe = -(-m // GRID_ROWS) * GRID_ROWS
     counts_h = np.bincount(h_all, minlength=m_pad_probe // 128)
-    g = _geometry(n, m, nnz_r, int(counts_h.max()))
+    # largest (row-chunk, column-window) class — structured stencils
+    # concentrate entries here and need P*K sized to the max, not the mean
+    class_id = (rows_r >> 7) * np.int64(m_pad_probe // 128) + h_all
+    max_class = int(np.bincount(
+        np.unique(class_id, return_inverse=True)[1]).max())
+    g = _geometry(n, m, nnz_r, int(counts_h.max()), max_class=max_class)
     if g is None:
         return None
     g["shape_n"] = n
@@ -981,7 +1147,8 @@ def pack_xbar(rows, cols, vals, shape, diag=None, seed: int = 12345,
                -(-nnz_r // int(0.88 * g["C_src"] * 128)))
     tabs = None
     for p_try in range(max(P_lo, g["P"] - 4), g["P"]):
-        g_try = _geometry(n, m, nnz_r, int(counts_h.max()), p_force=p_try)
+        g_try = _geometry(n, m, nnz_r, int(counts_h.max()), p_force=p_try,
+                          max_class=max_class)
         if (g_try is None or g_try["P"] != p_try
                 or g_try["Bs"] >= g["Bs"] or g_try["Bd"] > g["Bd"]):
             continue

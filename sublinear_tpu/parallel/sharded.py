@@ -83,10 +83,15 @@ class SplitShardedOperator:
         degree distributions (the round-2 `slot_cap = max(row_nnz)` scheme
         made one hub row cost K*n_pad/D per shard).
 
-    The local/remote split lets XLA overlap the p all_gather with the
+    The local/remote split makes the p all_gather overlappable with the
     communication-free local SpMV (SURVEY.md §5.7/§5.8; the reference's rayon
     row-chunk parallel matvec /root/reference/src/matrix/optimized.rs:397-449
-    has no equivalent overlap structure).
+    has no equivalent overlap structure).  Round-5 finding from the real
+    4-chip v5e AOT lowering (tests/test_tpu_aot_async.py): this XLA version
+    marks the all-gather asyncifiable (async_collective_name attribute +
+    CUSTOM barrier continuation) rather than splitting start/done pairs in
+    HLO, so the overlap is a backend/runtime mechanism — the structural
+    independence this split provides is what enables it.
     """
 
     def __init__(self, vals_loc, cols_loc, vals_rem, cols_rem, tail_vals,
@@ -201,6 +206,132 @@ def shard_operator_split(matrix: Matrix, mesh: Mesh, dtype=None) -> SplitSharded
     )
 
 
+class XbarShardedOperator:
+    """SplitShardedOperator variant whose LOCAL block runs the flagship
+    crossbar kernel per chip (VERDICT r4 #4: the two best parts of the
+    codebase now meet).  Per-shard xbar packs with a UNIFORM geometry are
+    stacked into sharded table operands; the remote block + hub tail keep
+    the split-ELL scheme, so the collective pattern (one all_gather per
+    matvec, psum dots) is IDENTICAL to the split-ELL solver — asserted by
+    tests/test_hlo_collectives.py.
+
+    Reference analog (single-node rayon row chunks):
+    /root/reference/src/matrix/optimized.rs:397-449."""
+
+    def __init__(self, base_op: SplitShardedOperator, tabs, geom):
+        self.base = base_op
+        self.idx_src, self.val_src, self.idx2, self.idx3 = tabs
+        self.geom = geom                 # dict of uniform xbar geometry
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+
+def _pack_xbar_shards(matrix: Matrix, mesh: Mesh, dt):
+    """Pack each shard's LOCAL block with the crossbar router under ONE
+    shared geometry; returns (stacked tables, geometry) or None if any
+    shard cannot be packed tail-free at the shared geometry."""
+    import os
+    from ..ops import xbar as _xbar
+
+    D = int(mesh.shape[ROWS])
+    csr = matrix.csr
+    n, m = csr.shape
+    n_pad = round_up(max(n, 1), LANE * D)
+    S = n_pad // D
+    if S % _xbar.GRID_ROWS:
+        return None  # per-shard row space must tile the routing grid
+
+    rows = csr.row_of_entry().astype(np.int64)
+    cols = csr.indices.astype(np.int64)
+    owner = rows // S
+    is_loc = (cols // S) == owner
+
+    shard_coo = []
+    for d in range(D):
+        sel = is_loc & (owner == d)
+        shard_coo.append((rows[sel] - d * S, cols[sel] - d * S,
+                          csr.data[sel]))
+
+    # first pass with default geometry to find the max (P, K) over shards
+    packs = [_xbar.pack_xbar(r, c, v, (S, S)) for r, c, v in shard_coo]
+    if any(p is None for p in packs):
+        return None
+    P_max = max(p.P for p in packs)
+    K_max = max(p.K for p in packs)
+    if any(p.P != P_max or p.K != K_max for p in packs):
+        # repack outliers at the shared geometry via the env override
+        saved = {k: os.environ.get(k) for k in ("SLT_XBAR_P", "SLT_XBAR_K")}
+        os.environ["SLT_XBAR_P"] = str(P_max)
+        os.environ["SLT_XBAR_K"] = str(K_max)
+        try:
+            packs = [_xbar.pack_xbar(r, c, v, (S, S)) for r, c, v in shard_coo]
+        finally:
+            for k, v in saved.items():
+                os.environ.pop(k, None)
+                if v is not None:
+                    os.environ[k] = v
+        if any(p is None for p in packs):
+            return None
+    g0 = packs[0]
+    for p in packs:
+        if (p.Bs, p.Bd, p.banks, p.C_src, p.Cb_pad, p.cb_s) != \
+                (g0.Bs, g0.Bd, g0.banks, g0.C_src, g0.Cb_pad, g0.cb_s):
+            return None
+        if p.tail_nnz or not p.chain_ready:
+            return None  # local xbar path requires clean diag-split packs
+
+    tab_sh = NamedSharding(mesh, P(ROWS))
+    stack = lambda name: jax.device_put(
+        jnp.stack([getattr(p, name) for p in packs]), tab_sh)
+    tabs = (stack("idx_src"), stack("val_src"), stack("idx2"),
+            stack("idx3"))
+    geom = dict(C_src=g0.C_src, cb_s=g0.cb_s, Bs=g0.Bs, Bd=g0.Bd,
+                banks=g0.banks, Cb_pad=g0.Cb_pad, S=S)
+    return tabs, geom
+
+
+def shard_operator_xbar(matrix: Matrix, mesh: Mesh, dtype=None):
+    """SplitShardedOperator + per-shard crossbar local block, or None when
+    the shards cannot be packed uniformly (caller falls back to split-ELL)."""
+    from ..config import resolve_dtype
+
+    dt = resolve_dtype(dtype)
+    packed = _pack_xbar_shards(matrix, mesh, dt)
+    if packed is None:
+        return None
+    base_op = shard_operator_split(matrix, mesh, dtype)
+    # the split tail absorbs LOCAL hub overflow too, but the xbar pack
+    # routes the ENTIRE local block — zero local tail values so they are
+    # not double-counted (padding structure preserved)
+    D = base_op.shards
+    S = base_op.n_pad // D
+    T = base_op.tail_per_shard
+    tv = np.array(jax.device_get(base_op.tail_vals))
+    tc = np.asarray(jax.device_get(base_op.tail_cols))
+    own = np.repeat(np.arange(D), T)
+    tv[(tc // S) == own] = 0.0
+    base_op.tail_vals = jax.device_put(
+        jnp.asarray(tv, base_op.dtype),
+        NamedSharding(mesh, P(ROWS)))
+    return XbarShardedOperator(base_op, *packed)
+
+
+def _xbar_local_matvec(tabs_l, geom, diag_l, p_l):
+    """Per-shard local-block product through the fused crossbar kernel.
+    tabs_l arrive inside shard_map with a leading length-1 shard axis."""
+    from ..ops import xbar as _xbar
+
+    is_, vs_, i2_, i3_ = (t.reshape(t.shape[1:]) for t in tabs_l)
+    x2d = p_l.astype(jnp.float32).reshape(geom["C_src"], 128)
+    y2d = _xbar._fused_call(geom["C_src"], geom["Bs"], geom["Bd"],
+                            geom["banks"], geom["cb_s"], geom["Cb_pad"])(
+        x2d, is_, vs_, i2_, i3_)
+    y = y2d.reshape(-1)[:geom["S"]].astype(p_l.dtype)
+    return y + diag_l * p_l
+
+
 def _split_matvec(vals_loc, cols_loc, vals_rem, cols_rem, tv, tr, tc, p_l):
     """Per-shard SpMV: communication-free local block first, then the remote
     block + tail over the gathered vector.  The all_gather's only consumer is
@@ -275,6 +406,72 @@ def _explicit_cg_factory(mesh: Mesh):
     return jax.jit(cg_shard)
 
 
+def _explicit_cg_xbar_factory(mesh: Mesh, geom: dict):
+    """_explicit_cg_factory with the LOCAL block routed through the fused
+    crossbar kernel per shard (XbarShardedOperator).  Collective pattern is
+    identical: ONE all_gather per matvec (consumed only by the remote
+    block + tail, so it still overlaps the local product) and psum dots."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS), P(ROWS), P(ROWS), P(ROWS),      # xbar tables (stacked)
+            P(None, ROWS), P(None, ROWS),            # remote ELL block
+            P(ROWS), P(ROWS), P(ROWS),               # tail vals/rows/cols
+            P(ROWS), P(ROWS), P(ROWS), P(ROWS),      # diag, inv_diag, b, x0
+            P(), P(),                                # threshold, max_iters
+        ),
+        out_specs=(P(ROWS), P(), P()),
+        check_vma=False,
+    )
+    def cg_shard(is_, vs_, i2_, i3_, vr, cr, tv, tr, tc, diag_l, invd_l,
+                 b_l, x0_l, threshold, max_iters):
+        from ..ops import spmv
+
+        S = b_l.shape[0]
+
+        def matvec(p_l):
+            p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
+            y_l = _xbar_local_matvec((is_, vs_, i2_, i3_), geom, diag_l, p_l)
+            y_l = y_l + spmv.ell_matvec(vr, cr, p_full)
+            y_l = y_l + spmv.coo_matvec(tv, tr, tc, p_full, S)
+            return y_l
+
+        def pdot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), ROWS)
+
+        r_l = b_l - matvec(x0_l)
+        z_l = invd_l * r_l
+        p_l = z_l
+        rz0 = pdot(r_l, z_l)
+        res0 = jnp.sqrt(pdot(r_l, r_l))
+
+        def cond(carry):
+            x_l, r_l, p_l, rz, k, res = carry
+            return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
+
+        def body(carry):
+            x_l, r_l, p_l, rz, k, _ = carry
+            Ap_l = matvec(p_l)
+            pAp = pdot(p_l, Ap_l)
+            alpha = rz / jnp.maximum(pAp, 1e-30)
+            x_l = x_l + alpha * p_l
+            r_l = r_l - alpha * Ap_l
+            z_l = invd_l * r_l
+            rz_new = pdot(r_l, z_l)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p_l = z_l + beta * p_l
+            res = jnp.sqrt(pdot(r_l, r_l))
+            return x_l, r_l, p_l, rz_new, k + 1, res
+
+        carry0 = (x0_l, r_l, p_l, rz0, jnp.int32(0), res0)
+        x_l, r_l, p_l, rz, k, res = jax.lax.while_loop(cond, body, carry0)
+        return x_l, k, res
+
+    return jax.jit(cg_shard)
+
+
 from ..utils.lru import LRUCache
 
 # keyed by mesh signature (not matrix): a handful of program factories
@@ -309,7 +506,14 @@ def solve_cg_sharded(
             x, k, res, _ = _cg_run(op, b_local, x0, threshold, jnp.int32(options.max_iterations), True)
             jax.block_until_ready(x)
     else:
-        op = shard_operator_split(matrix, mesh, options.dtype)
+        # explicit shard_map path; with mode="explicit-xbar" the per-shard
+        # LOCAL product runs the crossbar kernel (falls back to split-ELL
+        # when the shards cannot be packed uniformly)
+        xop = None
+        if mode == "explicit-xbar":
+            xop = shard_operator_xbar(matrix, mesh, options.dtype)
+        op = xop.base if xop is not None else \
+            shard_operator_split(matrix, mesh, options.dtype)
         vec_sh = NamedSharding(mesh, P(ROWS))
         b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
         b_local = jax.device_put(b_full, vec_sh)
@@ -317,18 +521,37 @@ def solve_cg_sharded(
             np.asarray(options.x0, dtype=np.float64), (0, op.n_pad - n)
         )
         x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh)
-        key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "cg")
-        fn = _EXPLICIT_CACHE.get(key)
-        if fn is None:
-            fn = _EXPLICIT_CACHE.put(key, _explicit_cg_factory(mesh))
-        with base.SolveTimer() as t:
-            x, k, res = fn(
-                op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
-                op.tail_vals, op.tail_rows, op.tail_cols,
-                op.inv_diag, b_local, x0,
-                jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
-            )
-            jax.block_until_ready(x)
+        if xop is not None:
+            key = (tuple(mesh.shape.items()),
+                   tuple(d.id for d in mesh.devices.flat), "cg-xbar",
+                   tuple(sorted(xop.geom.items())))
+            fn = _EXPLICIT_CACHE.get(key)
+            if fn is None:
+                fn = _EXPLICIT_CACHE.put(
+                    key, _explicit_cg_xbar_factory(mesh, xop.geom))
+            with base.SolveTimer() as t:
+                x, k, res = fn(
+                    xop.idx_src, xop.val_src, xop.idx2, xop.idx3,
+                    op.vals_rem, op.cols_rem,
+                    op.tail_vals, op.tail_rows, op.tail_cols,
+                    op.diag, op.inv_diag, b_local, x0,
+                    jnp.asarray(threshold, op.dtype),
+                    jnp.int32(options.max_iterations),
+                )
+                jax.block_until_ready(x)
+        else:
+            key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "cg")
+            fn = _EXPLICIT_CACHE.get(key)
+            if fn is None:
+                fn = _EXPLICIT_CACHE.put(key, _explicit_cg_factory(mesh))
+            with base.SolveTimer() as t:
+                x, k, res = fn(
+                    op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+                    op.tail_vals, op.tail_rows, op.tail_cols,
+                    op.inv_diag, b_local, x0,
+                    jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
+                )
+                jax.block_until_ready(x)
 
     result = base.finalize(
         matrix, x, k, res, f"cg-sharded-{mode}", options, t.ms,
@@ -490,37 +713,87 @@ def _cg_batch_run(op, B, X0, thresholds, max_iters, precondition):
     return X, k, col_res(R)
 
 
-@jax.jit
-def _neumann_batch_run(op, B, X0, thresholds, max_iters):
+@functools.partial(jax.jit, static_argnames=("x0_zero",))
+def _neumann_batch_run(op, B, X0, thresholds, max_iters, x0_zero: bool = False):
     """Batched Neumann series over a RHS block with per-column convergence
     thresholds — the DD-convergent batch driver for asymmetric systems where
-    plain CG has no guarantee."""
+    plain CG has no guarantee.
+
+    Round-5 rebuild (three measured wins, scratch/prof_r5_spmm4.py):
+      - ALL iteration state rides batch-major (B, n) so the hot SpMM gathers
+        along lanes (24% faster than row gathers);
+      - the Neumann residual identity r(X_k) = -R_off T_k makes the per-
+        iteration convergence check FREE (round 4 paid a second full matmat
+        for it);
+      - with ``x0_zero`` (static) the two startup matmats (initial residual
+        + first convergence check) are skipped: A @ 0 is zero and the first
+        res check is forced into the loop with an inf seed.
+    The returned residuals are the EXACT final B - A X column norms,
+    measured once after the loop."""
     inv_d = op.inv_diag
     diag = op.diag
 
-    def col_res(R):
+    if hasattr(op, "matmat_bmajor"):
+        matmatT = op.matmat_bmajor
+
+        def col_res(RT):
+            return jnp.sqrt(jnp.sum(RT * RT, axis=1))
+
+        BT = B.T
+        if x0_zero:
+            T0 = inv_d[None, :] * BT
+            X0T = jnp.zeros_like(BT)
+        else:
+            X0T = X0.T
+            T0 = inv_d[None, :] * (BT - matmatT(X0T))
+
+        def cond(carry):
+            X, T, k, res = carry
+            return jnp.any(res > thresholds) & (k < max_iters) & jnp.all(jnp.isfinite(res))
+
+        def body(carry):
+            X, T, k, _ = carry
+            RT = matmatT(T) - diag[None, :] * T
+            res = col_res(RT)
+            T = -inv_d[None, :] * RT
+            X = X + T
+            return X, T, k + 1, res
+
+        # large FINITE seed: the cond's non-finite guard must not trip on it
+        res0 = jnp.full((BT.shape[0],), jnp.finfo(BT.dtype).max / 4, BT.dtype)
+        carry0 = (X0T + T0, T0, jnp.int32(1), res0)
+        XT, T, k, _ = jax.lax.while_loop(cond, body, carry0)
+        RT = BT - matmatT(XT)
+        return XT.T, k, col_res(RT)
+
+    # n-major path for operators without a batch-major product (sharded
+    # operators: the (n, B) layout carries the mesh sharding, so keep it)
+    def col_res_n(R):
         return jnp.sqrt(jnp.sum(R * R, axis=0))
 
-    R0 = B - op.matmat(X0)
-    T0 = inv_d[:, None] * R0
+    if x0_zero:
+        T0 = inv_d[:, None] * B
+        X0 = jnp.zeros_like(B)
+    else:
+        T0 = inv_d[:, None] * (B - op.matmat(X0))
 
-    def cond(carry):
+    def cond_n(carry):
         X, T, k, res = carry
         return jnp.any(res > thresholds) & (k < max_iters) & jnp.all(jnp.isfinite(res))
 
-    def body(carry):
+    def body_n(carry):
         X, T, k, _ = carry
-        AT = op.matmat(T)
-        T = -inv_d[:, None] * (AT - diag[:, None] * T)
+        RT = op.matmat(T) - diag[:, None] * T
+        res = col_res_n(RT)
+        T = -inv_d[:, None] * RT
         X = X + T
-        res = col_res(B - op.matmat(X))
         return X, T, k + 1, res
 
-    X0n = X0 + T0
-    carry0 = (X0n, T0, jnp.int32(1), col_res(B - op.matmat(X0n)))
-    X, T, k, _ = jax.lax.while_loop(cond, body, carry0)
+    res0 = jnp.full((B.shape[1],), jnp.finfo(B.dtype).max / 4, B.dtype)
+    carry0 = (X0 + T0, T0, jnp.int32(1), res0)
+    X, T, k, _ = jax.lax.while_loop(cond_n, body_n, carry0)
     R = B - op.matmat(X)
-    return X, k, col_res(R)
+    return X, k, col_res_n(R)
 
 
 def solve_batch(
@@ -587,7 +860,7 @@ def solve_batch(
         )
     with base.SolveTimer() as t:
         if method == "neumann":
-            X, k, col_res = _neumann_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations))
+            X, k, col_res = _neumann_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations), x0_zero=True)
         else:
             X, k, col_res = _cg_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations), True)
         jax.block_until_ready(X)

@@ -289,3 +289,73 @@ class TestEnvOverrides:
         assert not op.chain_ready
         with pytest.raises(ValueError, match="chain-ready"):
             op.neumann_chain(jnp.zeros(op.m_pad, jnp.float32), 4)
+
+
+class TestCgChain:
+    def _spd(self, n=500, seed=3):
+        rng = np.random.default_rng(seed)
+        cnt = n * 5
+        r = rng.integers(0, n, cnt); c = rng.integers(0, n, cnt)
+        v = rng.uniform(-1, 1, cnt)
+        off = r != c
+        r, c, v = r[off], c[off], v[off]
+        # symmetrize then diagonally dominate -> SPD
+        rows = np.r_[r, c]; cols = np.r_[c, r]; vals = np.r_[v, v]
+        diag = np.zeros(n)
+        np.add.at(diag, rows, np.abs(vals))
+        rows = np.r_[rows, np.arange(n)]
+        cols = np.r_[cols, np.arange(n)]
+        vals = np.r_[vals, diag * 1.2 + 1.0]
+        return rows, cols, vals
+
+    def test_cg_chain_matches_explicit_pcg(self):
+        n = 500
+        rows, cols, vals = self._spd(n)
+        op = pack_xbar(rows, cols, vals, (n, n))
+        assert op is not None
+        if not op.chain_ready:
+            pytest.skip("pack not chain-eligible at this size")
+        rng = np.random.default_rng(4)
+        b = np.zeros(op.m_pad, np.float32)
+        b[:n] = rng.standard_normal(n).astype(np.float32)
+        b_pad = jnp.asarray(b)
+        x0 = jnp.zeros_like(b_pad)
+        inv_d = op.inv_diag
+        # chain: 2 chunks of 4
+        r = b_pad - op.matvec(x0)
+        z = inv_d * r
+        rz = jnp.vdot(r, z)
+        x_c, r_c, p_c, rz_c, res2 = jax.jit(
+            lambda x, r, p, rz: op.cg_chain(x, r, p, rz, 4))(x0, r, z, rz)
+        x_c, r_c, p_c, rz_c, res2 = jax.jit(
+            lambda x, r, p, rz: op.cg_chain(x, r, p, rz, 4))(x_c, r_c, p_c, rz_c)
+        # explicit PCG, 8 iterations
+        x, rr, p = x0, b_pad - op.matvec(x0), None
+        z = inv_d * rr; p = z; rz_e = jnp.vdot(rr, z)
+        for _ in range(8):
+            q = op.matvec(p)
+            alpha = rz_e / jnp.vdot(p, q)
+            x = x + alpha * p
+            rr = rr - alpha * q
+            z = inv_d * rr
+            rz_new = jnp.vdot(rr, z)
+            p = z + (rz_new / rz_e) * p
+            rz_e = rz_new
+        np.testing.assert_allclose(np.asarray(x_c)[:n], np.asarray(x)[:n],
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(float(jnp.sqrt(res2)),
+                                   float(jnp.linalg.norm(r_c)), rtol=1e-5)
+
+    def test_solve_cg_chain_converges(self):
+        n = 500
+        rows, cols, vals = self._spd(n, seed=8)
+        A = Matrix.from_coo(rows, cols, vals, (n, n), prefer="xbar")
+        if not getattr(A.op(), "chain_ready", False):
+            pytest.skip("pack not chain-eligible")
+        b = np.random.default_rng(5).standard_normal(n)
+        r1 = solve(A, b, SolverOptions(method="cg", epsilon=1e-6,
+                                       check_every=5))
+        assert r1.converged
+        D = _dense_of(rows, cols, vals, (n, n))
+        res = np.linalg.norm(D @ r1.solution - b) / np.linalg.norm(b)
+        assert res < 5e-6, res
