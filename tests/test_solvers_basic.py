@@ -279,3 +279,60 @@ def test_property_sweep_methods_agree(seed):
             r.solution, x_ref, rtol=2e-3, atol=1e-3,
             err_msg=f"{method} n={n} density={density:.3f}",
         )
+
+
+def test_device_residual_refinement_reaches_1e12():
+    """Round-5: the compensated double-float DEVICE residual (no host
+    O(nnz) work) must reach 1e-12 relative residuals, verified against a
+    host f64 oracle residual.  Exact only on the TPU backend (XLA:CPU's
+    simplifier cancels the TwoSum compensation, so refine.py falls back to
+    the host path there and this test exercises the TPU kernel)."""
+    from sublinear_tpu.config import backend
+    from sublinear_tpu.solvers.refine import solve_refined
+
+    if backend() != "tpu":
+        pytest.skip("double-float residual kernel is TPU-exact only")
+    A, b, x_ref = make_dd_system(n=512, density=0.02, seed=33)
+    r = solve_refined(A, b, slt.SolverOptions(epsilon=1e-12),
+                      max_refinements=6, residual="device")
+    assert r.converged, f"residual {r.residual}"
+    # independent host f64 check of the claimed residual
+    rel = np.linalg.norm(A.to_dense() @ r.solution - b) / np.linalg.norm(b)
+    assert rel < 5e-12, rel
+    # the device-reported residual must agree with the host oracle
+    assert abs(r.residual / np.linalg.norm(b) - rel) < 1e-10
+
+
+def test_doublefloat_residual_mechanics_vs_oracle():
+    """Backend-independent mechanics check of ell_residual_df: structure
+    (slots/cols/splitting) must match the oracle to f32-level accuracy
+    even where the backend loses the compensation."""
+    import jax.numpy as jnp
+    from sublinear_tpu.utils import doublefloat as df
+
+    rng = np.random.default_rng(9)
+    n, K = 300, 9
+    vals64 = rng.standard_normal((K, n))
+    cols = rng.integers(0, n, (K, n)).astype(np.int32)
+    x64 = rng.standard_normal(n)
+    b64 = rng.standard_normal(n)
+    Ax = np.zeros(n)
+    for k in range(K):
+        Ax += vals64[k] * x64[cols[k]]
+    vh, vl = df.split_f64(vals64)
+    bh, bl = df.split_f64(b64)
+    xh, xl = df.split_f64(x64)
+    rh, rl = df.ell_residual_df(*map(jnp.asarray, (vh, vl, cols, bh, bl,
+                                                   xh, xl)))
+    got = np.asarray(rh, np.float64) + np.asarray(rl, np.float64)
+    np.testing.assert_allclose(got, b64 - Ax, rtol=0, atol=5e-6)
+
+
+def test_device_and_host_residual_paths_agree():
+    from sublinear_tpu.solvers.refine import solve_refined
+
+    A, b, _ = make_dd_system(n=128, density=0.05, seed=34)
+    rd = solve_refined(A, b, slt.SolverOptions(epsilon=1e-10), residual="device")
+    rh = solve_refined(A, b, slt.SolverOptions(epsilon=1e-10), residual="host")
+    assert rd.converged and rh.converged
+    np.testing.assert_allclose(rd.solution, rh.solution, rtol=1e-8, atol=1e-10)
