@@ -295,6 +295,76 @@ def bench_queries(ladder_out):
         print(f"temporal advantage: {light_ms - func_1k_ms:.2f} ms", file=sys.stderr)
 
 
+def bench_bmssp(ladder_out):
+    """The reference's BMSSP benchmark rows are LINEAR-SYSTEM solves with
+    BMSSP as its accelerator (BMSSP_BENCHMARKS.md compares 'BMSSP vs CG' on
+    Ax=b configs), so the apples-to-apples surface here is OUR solver on the
+    IDENTICAL configs:
+      - single solve, n=1000 @0.1% (reference BMSSP-Rust 0.041 ms)
+      - 20-RHS batch, n=10,000 @0.01% (reference batch 7.93 ms = 45.9x over
+        its own sequential loop) — here 20 serialized chain-kernel solves
+        inside one program, each residual-verified."""
+    import jax
+    import jax.numpy as jnp
+
+    import sublinear_tpu as slt
+
+    try:
+        n, B, density = 10_000, 20, 1e-4
+        A = slt.generate("random-sparse", n, seed=7, density=density)
+        op = A.op()
+        if not getattr(op, "chain_ready", False):
+            raise RuntimeError("pack not chain-ready at BMSSP config")
+        rng = np.random.default_rng(0)
+        Bm = rng.standard_normal((n, B))
+        B_pad = np.zeros((op.m_pad, B)); B_pad[:n] = Bm
+        B_dev = jnp.asarray(B_pad, jnp.float32)
+
+        def chain(reps):
+            @jax.jit
+            def f(op, Bd):
+                inv_d = op.inv_diag
+
+                def one_batch(carry, j):
+                    prev, _ = carry
+
+                    def one_rhs(c2, i):
+                        bs = Bd[:, i] * (1.0 + 0.01 * j) + 1e-6 * prev[:, i]
+                        x, _t, r = op.neumann_chain(inv_d * bs, 12,
+                                                    with_residual=True)
+                        return c2, (jnp.linalg.norm(r) / jnp.linalg.norm(bs),
+                                    x)
+                    _, (ress, X) = jax.lax.scan(one_rhs, 0.0, jnp.arange(B))
+                    return (X.T, jnp.max(ress)), jnp.max(ress)
+                (Xf, _), r = jax.lax.scan(
+                    one_batch, (jnp.zeros_like(Bd), 0.0),
+                    jnp.arange(reps, dtype=jnp.float32))
+                return Xf[0, 0] + 0.0 * jnp.sum(r), jnp.max(r)
+            return f
+
+        f2, f10 = chain(2), chain(10)
+        sync_scalar(f2(op, B_dev)[0])
+        o = f10(op, B_dev); sync_scalar(o[0])
+        ts2, ts10 = [], []
+        for i in range(3):
+            t0 = time.perf_counter(); sync_scalar(f2(op, B_dev * (1 + 0.001 * i))[0]); ts2.append(time.perf_counter() - t0)
+            t0 = time.perf_counter(); o = f10(op, B_dev * (1 + 0.001 * i)); sync_scalar(o[0]); ts10.append(time.perf_counter() - t0)
+        per_batch = (min(ts10) - min(ts2)) / 8 * 1e3
+        ok = sync_scalar(o[1]) <= EPSILON * 1.5
+        ladder_out.append({
+            "n": n, "batch": B, "ms": round(per_batch, 3),
+            "reference_ms": 7.93,
+            "speedup": round(7.93 / per_batch, 2) if ok else 0.0,
+            "kind": "bmssp-claim-batch",
+            "note": "reference's BMSSP 20-source batch config (its rows are "
+                    "Ax=b solves); here 20 serialized verified chain-kernel "
+                    "solves in one program; its sequential baseline was 364 ms",
+        })
+        print(f"bmssp-claim batch 10k x 20: {per_batch:.3f} ms ok={ok}", file=sys.stderr)
+    except Exception as e:
+        print(f"bmssp-claim batch failed: {e}", file=sys.stderr)
+
+
 def bench_batch_point(n=100_000, density=1e-4, B=128):
     """n=100k x 128-RHS batched Neumann solve to 1e-6 (per-RHS time).
     Reference solves batches serially (tools/solver.ts:291-321): its best
@@ -315,7 +385,7 @@ def bench_batch_point(n=100_000, density=1e-4, B=128):
 
     def chain(reps):
         @jax.jit
-        def f(Bd):
+        def f(op, Bd):
             def one(carry, j):
                 prev, _ = carry
                 Bj = Bd * (1.0 + 0.01 * j) + 1e-6 * prev
@@ -326,11 +396,11 @@ def bench_batch_point(n=100_000, density=1e-4, B=128):
         return f
 
     f2, f10 = chain(2), chain(10)
-    sync_scalar(f2(B_dev)[0]); o = f10(B_dev); sync_scalar(o[0])
+    sync_scalar(f2(op, B_dev)[0]); o = f10(op, B_dev); sync_scalar(o[0])
     ts2, ts10 = [], []
     for i in range(3):
-        t0 = time.perf_counter(); sync_scalar(f2(B_dev * (1 + 0.001 * i))[0]); ts2.append(time.perf_counter() - t0)
-        t0 = time.perf_counter(); o = f10(B_dev * (1 + 0.001 * i)); sync_scalar(o[0]); ts10.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); sync_scalar(f2(op, B_dev * (1 + 0.001 * i))[0]); ts2.append(time.perf_counter() - t0)
+        t0 = time.perf_counter(); o = f10(op, B_dev * (1 + 0.001 * i)); sync_scalar(o[0]); ts10.append(time.perf_counter() - t0)
     per_batch = (min(ts10) - min(ts2)) / 8
     ok = sync_scalar(o[1]) <= thr * 1.05
     return per_batch * 1e3 / B, ok
@@ -401,6 +471,7 @@ def main():
                 print(f"small-n xbar row failed: {e}", file=sys.stderr)
 
     bench_queries(ladder_out)
+    bench_bmssp(ladder_out)
 
     try:
         per_rhs_ms, ok = bench_batch_point()
