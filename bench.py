@@ -474,6 +474,36 @@ def main():
     bench_bmssp(ladder_out)
 
     try:
+        # beyond-reference scale: 1M rows / 11M nnz on ONE chip (the
+        # reference's largest documented size is 100k).  Wall-clock solve
+        # including tunnel RPC; ELL wide-gather path, 10 Neumann iterations.
+        import time as _t
+
+        n1 = 1_000_000
+        A1 = slt.generate("random-sparse", n1, seed=7, density=1e-5)
+        b1 = slt.rhs(n1, seed=7)
+        r = slt.solve(A1, b1, method="neumann", epsilon=1e-6)
+        ts = []
+        for i in range(3):
+            t0 = _t.perf_counter()
+            r = slt.solve(A1, b1 * (1 + 0.001 * i), method="neumann",
+                          epsilon=1e-6)
+            ts.append(_t.perf_counter() - t0)
+        rel = float(np.linalg.norm(A1.csr.matvec(r.solution) - b1)
+                    / np.linalg.norm(b1))
+        ladder_out.append({
+            "n": n1, "ms": round(min(ts) * 1e3, 1), "reference_ms": None,
+            "kind": "beyond-reference-scale",
+            "max_res": f"{rel:.2e}",
+            "note": "1M rows / 11M nnz on one chip, wall incl tunnel RPC; "
+                    "reference's largest documented size is 100k",
+        })
+        print(f"n=1M: {min(ts)*1e3:.1f} ms wall rel={rel:.1e}", file=sys.stderr)
+        del A1, b1
+    except Exception as e:
+        print(f"n=1M row failed: {e}", file=sys.stderr)
+
+    try:
         per_rhs_ms, ok = bench_batch_point()
         ladder_out.append({
             "n": 100_000, "batch": 128, "ms": round(per_rhs_ms, 4),

@@ -486,7 +486,13 @@ def solve_cg_sharded(
     mode: str = "explicit",
     raise_on_fail: bool = True,
 ) -> SolverResult:
-    """Distributed (preconditioned) CG over a row-partitioned operator."""
+    """Distributed (preconditioned) CG over a row-partitioned operator.
+
+    ``mode``: 'auto' (GSPMD placement, XLA partitions the standard solver),
+    'explicit' (hand-scheduled shard_map with split local/remote blocks),
+    or 'explicit-xbar' (explicit schedule with the per-shard LOCAL product
+    routed through the crossbar kernel — falls back to 'explicit' when the
+    shards cannot be packed uniformly)."""
     options = options or SolverOptions()
     mesh = mesh or mesh_mod.make_mesh()
     n = matrix.shape[0]
@@ -858,8 +864,40 @@ def solve_batch(
         method = "cg" if a.is_symmetric else (
             "neumann" if a.is_diagonally_dominant else "cg"
         )
+    # small-batch fast path: for few RHS the ELL batch SpMM cannot amortize
+    # its fixed per-iteration cost; nrhs serialized CHAIN-kernel solves in
+    # one program are ~4x faster at nrhs=20/n=10k (round-5 measurement, see
+    # bench.py::bench_bmssp) and each column keeps its own convergence check
+    chain_op = None
+    if method == "neumann" and mesh is None and nrhs <= 32 and options.x0 is None:
+        op1 = matrix.op(options.dtype)
+        if getattr(op1, "chain_ready", False) and options.check_every > 1:
+            chain_op = op1
+
     with base.SolveTimer() as t:
-        if method == "neumann":
+        if chain_op is not None:
+            from ..solvers.neumann import _neumann_run
+
+            Bx = np.zeros((chain_op.m_pad, nrhs))
+            Bx[:n] = B
+            Bx_dev = jnp.asarray(Bx, chain_op.dtype)
+            thr_dev = jnp.asarray(thr_cols, chain_op.dtype)
+
+            @jax.jit
+            def run_cols(op1, Bd, thr):
+                def one(carry, i):
+                    b = Bd[:, i]
+                    x, k, res, change, _, _ = _neumann_run(
+                        op1, b, jnp.zeros_like(b), thr[i],
+                        jnp.int32(options.max_iterations),
+                        options.check_every)
+                    return carry, (x, k, res)
+                _, (Xt, ks, ress) = jax.lax.scan(
+                    one, 0, jnp.arange(nrhs))
+                return Xt.T, jnp.max(ks), ress
+
+            X, k, col_res = run_cols(chain_op, Bx_dev, thr_dev)
+        elif method == "neumann":
             X, k, col_res = _neumann_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations), x0_zero=True)
         else:
             X, k, col_res = _cg_batch_run(op, B_dev, X0, thresholds, jnp.int32(options.max_iterations), True)

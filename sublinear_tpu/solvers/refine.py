@@ -138,14 +138,14 @@ def solve_refined(
             if not np.all(np.isfinite(result.solution)):
                 break
             x = x + result.solution
-    residual = residual_val
+    residual_norm = residual_val
 
     wall = (time.perf_counter() - t0) * 1e3
     out = SolverResult(
         solution=x,
         iterations=total_iters,
-        residual=residual,
-        converged=residual <= target_abs * 1.0000001,
+        residual=residual_norm,
+        converged=residual_norm <= target_abs * 1.0000001,
         method=f"refined({inner_method})",
         compute_time_ms=wall,
     )
@@ -153,7 +153,7 @@ def solve_refined(
         from ..errors import ConvergenceError
 
         raise ConvergenceError(
-            f"iterative refinement stalled at residual {residual:.3e} (target {target_abs:.3e})",
-            {"residual": residual, "target": target_abs, "iterations": total_iters},
+            f"iterative refinement stalled at residual {residual_norm:.3e} (target {target_abs:.3e})",
+            {"residual": residual_norm, "target": target_abs, "iterations": total_iters},
         )
     return out

@@ -478,3 +478,31 @@ def test_sharded_walkers_hotspot_unbiased_or_accounted(mesh8):
     else:
         # truncation happened and was accounted — the contract holds
         assert stats["unserved_walker_mass"] <= stats["total_walker_mass"]
+
+
+def test_solve_batch_small_chain_path():
+    """Small batches route through serialized chain-kernel solves (round-5
+    fast path) with per-column convergence; results must match the big-batch
+    driver and the oracle."""
+    from sublinear_tpu.matrix import Matrix
+    from sublinear_tpu.parallel.sharded import solve_batch
+
+    n, S = 600, 6
+    rng = np.random.default_rng(21)
+    cnt = n * 5
+    r = rng.integers(0, n, cnt); c = rng.integers(0, n, cnt)
+    v = rng.uniform(-1, 1, cnt)
+    off = r != c
+    r, c, v = r[off], c[off], v[off]
+    dg = np.zeros(n); np.add.at(dg, r, np.abs(v))
+    rows = np.r_[r, np.arange(n)]; cols = np.r_[c, np.arange(n)]
+    vals = np.r_[v, dg * 1.5 + 1.0]
+    A = Matrix.from_coo(rows, cols, vals, (n, n), prefer="xbar")
+    if not getattr(A.op(), "chain_ready", False):
+        pytest.skip("pack not chain-ready at this size")
+    B = rng.standard_normal((n, S))
+    res = solve_batch(A, B, slt.SolverOptions(epsilon=1e-6), method="neumann")
+    assert all(rr.converged for rr in res)
+    for j, rr in enumerate(res):
+        rel = np.linalg.norm(A.csr.matvec(rr.solution) - B[:, j]) / np.linalg.norm(B[:, j])
+        assert rel < 5e-6, (j, rel)
