@@ -121,20 +121,26 @@ def bench_chain_neumann(A, b, r_short, r_long, iters, op=None):
     print(f"  chain-kernel solve: {use_chain}", file=sys.stderr)
 
     def make_chain(R):
+        nb0 = float(np.linalg.norm(np.asarray(b_full)))
+
         @jax.jit
         def chain(b_pad, bump):
             inv_d = op.inv_diag
 
             def solve_one(carry, j):
                 prev, _ = carry
-                bs = b_pad * (1.0 + 0.01 * bump * (j + 1).astype(op.dtype)) + 1e-6 * prev
+                s = 1.0 + 0.01 * bump * (j + 1).astype(op.dtype)
+                bs = b_pad * s + 1e-6 * prev
                 if use_chain:
-                    # res is the EXACT residual of x_{iters-1} (Neumann
-                    # residual identity, zero extra passes) — a strict
-                    # upper bound on the residual of the returned x_iters
-                    x, _t, r = op.neumann_chain(inv_d * bs, iters,
-                                                with_residual=True)
-                    res = jnp.linalg.norm(r) / jnp.linalg.norm(bs)
+                    # res2 = ||R t_{iters-1}||^2 reduced IN the kernel (the
+                    # Neumann residual identity; exact residual of the
+                    # penultimate iterate, a strict bound for the returned
+                    # x).  ||bs|| ~= s*||b|| to 1e-6 relative (the prev
+                    # serialization term is 1e-6-weighted) — far below the
+                    # thresholds being verified.
+                    x, _t, res2 = op.neumann_chain(inv_d * bs, iters,
+                                                   with_residual="norm")
+                    res = jnp.sqrt(res2) / (s * nb0)
                     return (x, res), res
                 term0 = inv_d * bs
 

@@ -520,6 +520,10 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
     bound (by the contraction factor) on the residual of the RETURNED
     x_iters.  Round 4 spent a full extra matvec pass on this (13 passes for
     a 12-iteration verified solve); the identity makes it free.
+
+    with_residual="norm" emits only ||r||^2 as an SMEM scalar (reduced
+    on-chip), skipping the residual VECTOR round-trip and the XLA norm
+    fusion in the caller — the verified-solve epilogue becomes one scalar.
     """
     bw = banks * 128
     G, P1, nb, P2, rem2 = _chain_geometry(Bs, Bd, Cb_pad)
@@ -534,6 +538,7 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
              tout_ref, term_scr, y_scr, o_scr) = refs
             res_ref = None
         j = pl.program_id(0)
+        norm_only = with_residual == "norm"
 
         @pl.when(j == 0)
         def _():
@@ -557,7 +562,10 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
             if with_residual:
                 # Neumann residual identity: y_scr = R t_{iters-1} here, so
                 # -y_scr is the EXACT residual of x_{iters-1} (see docstring)
-                res_ref[:] = -y_scr[:]
+                if norm_only:
+                    res_ref[0] = jnp.sum(y_scr[:] * y_scr[:])
+                else:
+                    res_ref[:] = -y_scr[:]
 
         y_scr[:] = jnp.zeros_like(y_scr)
 
@@ -576,13 +584,24 @@ def _chain_call(C_src: int, Bs: int, Bd: int, banks: int, cb_s: int,
         pl.BlockSpec((Bd * 128, 128), lambda j: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    n_out = 3 if with_residual else 2
+    if with_residual == "norm":
+        out_specs = (vec(), vec(),
+                     pl.BlockSpec((1,), lambda j: (0,),
+                                  memory_space=pltpu.SMEM))
+        out_shape = (vec_out(), vec_out(),
+                     jax.ShapeDtypeStruct((1,), jnp.float32))
+    elif with_residual:
+        out_specs = (vec(), vec(), vec())
+        out_shape = (vec_out(), vec_out(), vec_out())
+    else:
+        out_specs = (vec(), vec())
+        out_shape = (vec_out(), vec_out())
     return pl.pallas_call(
         kernel,
         grid=(iters,),
         in_specs=in_specs,
-        out_specs=tuple(vec() for _ in range(n_out)),
-        out_shape=tuple(vec_out() for _ in range(n_out)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((C_src, 128), jnp.float32),         # term carry
             pltpu.VMEM((Cb_pad * 128, 128), jnp.float32),  # y accumulator
@@ -910,7 +929,9 @@ class XbarOperator:
         res = -R t_{iters-1}, the EXACT residual of the penultimate
         iterate — for a solve seeded with term0 = D^-1 b this is
         b - A x_{iters-1}, a strict upper bound (by the contraction
-        factor) on the residual of the returned acc = x_iters."""
+        factor) on the residual of the returned acc = x_iters.
+        ``with_residual="norm"`` returns ||res||^2 as a scalar instead
+        (reduced on-chip in SMEM; the cheapest verified-solve form)."""
         if not self.chain_ready:
             raise ValueError(
                 "neumann_chain requires a chain-ready pack (tail-free, "
@@ -928,8 +949,12 @@ class XbarOperator:
                     term.reshape(-1).astype(term0.dtype))
         acc, term, res = _chain_call(
             self.C_src, self.Bs, self.Bd, self.banks, self.cb_s,
-            self.Cb_pad, int(iters), with_residual=True)(
+            self.Cb_pad, int(iters), with_residual=with_residual)(
             t2d, inv2d, self.idx_src, self.val_src, self.idx2, self.idx3)
+        if with_residual == "norm":
+            return (acc.reshape(-1).astype(term0.dtype),
+                    term.reshape(-1).astype(term0.dtype),
+                    res[0])
         return (acc.reshape(-1).astype(term0.dtype),
                 term.reshape(-1).astype(term0.dtype),
                 res.reshape(-1).astype(term0.dtype))

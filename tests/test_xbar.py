@@ -359,3 +359,23 @@ class TestCgChain:
         D = _dense_of(rows, cols, vals, (n, n))
         res = np.linalg.norm(D @ r1.solution - b) / np.linalg.norm(b)
         assert res < 5e-6, res
+
+
+def test_chain_residual_norm_mode():
+    """with_residual='norm' must return ||res||^2 matching the vector mode."""
+    n = 500
+    rows, cols, vals = _dd_matrix(n, deg=5, seed=3)
+    A = Matrix.from_coo(rows, cols, vals, (n, n), prefer="xbar")
+    op = A.op()
+    if not op.chain_ready:
+        pytest.skip("pack not chain-eligible")
+    b = np.zeros(op.m_pad, np.float32)
+    b[:n] = np.random.default_rng(3).standard_normal(n).astype(np.float32)
+    b_pad = jnp.asarray(b)
+    x1, t1, rvec = jax.jit(lambda bp: op.neumann_chain(
+        op.inv_diag * bp, 8, with_residual=True))(b_pad)
+    x2, t2, res2 = jax.jit(lambda bp: op.neumann_chain(
+        op.inv_diag * bp, 8, with_residual="norm"))(b_pad)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=0, atol=0)
+    np.testing.assert_allclose(float(res2),
+                               float(jnp.sum(rvec * rvec)), rtol=1e-5)
