@@ -491,12 +491,12 @@ def main():
         r = slt.solve(A1, b1, method="neumann", epsilon=1e-6)
         ts = []
         for i in range(3):
+            bi = b1 * (1 + 0.001 * i)
             t0 = _t.perf_counter()
-            r = slt.solve(A1, b1 * (1 + 0.001 * i), method="neumann",
-                          epsilon=1e-6)
+            r = slt.solve(A1, bi, method="neumann", epsilon=1e-6)
             ts.append(_t.perf_counter() - t0)
-        rel = float(np.linalg.norm(A1.csr.matvec(r.solution) - b1)
-                    / np.linalg.norm(b1))
+        rel = float(np.linalg.norm(A1.csr.matvec(r.solution) - bi)
+                    / np.linalg.norm(bi))
         ladder_out.append({
             "n": n1, "ms": round(min(ts) * 1e3, 1), "reference_ms": None,
             "kind": "beyond-reference-scale",
