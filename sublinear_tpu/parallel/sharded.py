@@ -612,13 +612,87 @@ def _explicit_neumann_factory(mesh: Mesh):
             x_l, term_l, k, _ = carry
 
             def inner(i, st):
-                x_l, term_l = st
+                x_l, term_l, _ = st
                 at_l = matvec(term_l) - diag_l * term_l
                 term_l = -invd_l * at_l
-                return x_l + term_l, term_l
+                return x_l + term_l, term_l, at_l
 
-            x_l, term_l = jax.lax.fori_loop(0, check_every, inner, (x_l, term_l))
-            res = pnorm(matvec(x_l) - b_l)
+            x_l, term_l, at_l = jax.lax.fori_loop(
+                0, check_every, inner, (x_l, term_l, jnp.zeros_like(term_l)))
+            # Neumann residual identity: at_l = R_off t_last is the exact
+            # residual (negated) of the previous iterate — a strict upper
+            # bound for the current x_l, saving one full matvec (and its
+            # all_gather) per convergence check
+            res = pnorm(at_l)
+            return x_l, term_l, k + check_every, res
+
+        res0 = pnorm(matvec(x_l) - b_l)
+        x_l, term_l, k, res = jax.lax.while_loop(
+            cond, body, (x_l, term0_l, jnp.int32(0), res0)
+        )
+        return x_l, k, res
+
+    return jax.jit(neumann_shard)
+
+
+def _explicit_neumann_xbar_factory(mesh: Mesh, geom: dict):
+    """_explicit_neumann_factory with the LOCAL block routed through the
+    crossbar kernel per shard (same composition as _explicit_cg_xbar_factory;
+    collective pattern unchanged: one all_gather per matvec + psum norms)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(ROWS), P(ROWS), P(ROWS), P(ROWS),      # xbar tables (stacked)
+            P(None, ROWS), P(None, ROWS),            # remote ELL block
+            P(ROWS), P(ROWS), P(ROWS),               # tail vals/rows/cols
+            P(ROWS), P(ROWS),                        # diag, inv_diag
+            P(ROWS), P(ROWS),                        # b_local, x0_local
+            P(), P(), P(),                           # threshold, max_iters, check_every
+        ),
+        out_specs=(P(ROWS), P(), P()),
+        check_vma=False,
+    )
+    def neumann_shard(is_, vs_, i2_, i3_, vr, cr, tv, tr, tc, diag_l, invd_l,
+                      b_l, x0_l, threshold, max_iters, check_every):
+        from ..ops import spmv
+
+        S = b_l.shape[0]
+
+        def matvec(v_l):
+            p_full = jax.lax.all_gather(v_l, ROWS, tiled=True)
+            y_l = _xbar_local_matvec((is_, vs_, i2_, i3_), geom, diag_l, v_l)
+            y_l = y_l + spmv.ell_matvec(vr, cr, p_full)
+            y_l = y_l + spmv.coo_matvec(tv, tr, tc, p_full, S)
+            return y_l
+
+        def pnorm(v_l):
+            return jnp.sqrt(jax.lax.psum(jnp.vdot(v_l, v_l), ROWS))
+
+        r0_l = b_l - matvec(x0_l)
+        term0_l = invd_l * r0_l
+        x_l = x0_l + term0_l
+
+        def cond(carry):
+            x_l, term_l, k, res = carry
+            return (res > threshold) & (k < max_iters) & jnp.isfinite(res) & (res < base.HUGE_RES)
+
+        def body(carry):
+            x_l, term_l, k, _ = carry
+
+            def inner(i, st):
+                x_l, term_l, _ = st
+                at_l = matvec(term_l) - diag_l * term_l
+                term_l = -invd_l * at_l
+                return x_l + term_l, term_l, at_l
+
+            x_l, term_l, at_l = jax.lax.fori_loop(
+                0, check_every, inner, (x_l, term_l, jnp.zeros_like(term_l)))
+            # Neumann residual identity: at_l = R_off t_last is the EXACT
+            # residual (negated) of the PREVIOUS iterate — a strict upper
+            # bound for the current x_l, no extra matvec
+            res = pnorm(at_l)
             return x_l, term_l, k + check_every, res
 
         res0 = pnorm(matvec(x_l) - b_l)
@@ -636,11 +710,20 @@ def solve_neumann_sharded(
     mesh: Optional[Mesh] = None,
     options: Optional[SolverOptions] = None,
     raise_on_fail: bool = True,
+    mode: str = "explicit",
 ) -> SolverResult:
-    """Distributed Neumann series over a row-partitioned operator."""
+    """Distributed Neumann series over a row-partitioned operator.
+
+    ``mode="explicit-xbar"`` routes the per-shard LOCAL product through the
+    crossbar kernel (falls back to split-ELL when shards cannot be packed
+    uniformly)."""
     options = options or SolverOptions()
     mesh = mesh or mesh_mod.make_mesh()
-    op = shard_operator_split(matrix, mesh, options.dtype)
+    xop = None
+    if mode == "explicit-xbar":
+        xop = shard_operator_xbar(matrix, mesh, options.dtype)
+    op = xop.base if xop is not None else \
+        shard_operator_split(matrix, mesh, options.dtype)
     n = matrix.shape[0]
     vec_sh = NamedSharding(mesh, P(ROWS))
     b_full = _ell.pad_vector(np.asarray(b, dtype=np.float64), op.n_pad, op.dtype)
@@ -651,18 +734,36 @@ def solve_neumann_sharded(
     x0 = jax.device_put(jnp.asarray(x0_np, op.dtype), vec_sh)
     threshold = base.threshold_for(b, options)
 
-    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "neumann")
-    fn = _EXPLICIT_CACHE.get(key)
-    if fn is None:
-        fn = _EXPLICIT_CACHE.put(key, _explicit_neumann_factory(mesh))
     with base.SolveTimer() as t:
-        x, k, res = fn(
-            op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
-            op.tail_vals, op.tail_rows, op.tail_cols,
-            op.diag, op.inv_diag, b_local, x0,
-            jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
-            jnp.int32(options.check_every),
-        )
+        if xop is not None:
+            key = (tuple(mesh.shape.items()),
+                   tuple(d.id for d in mesh.devices.flat), "neumann-xbar",
+                   tuple(sorted(xop.geom.items())))
+            fn = _EXPLICIT_CACHE.get(key)
+            if fn is None:
+                fn = _EXPLICIT_CACHE.put(
+                    key, _explicit_neumann_xbar_factory(mesh, xop.geom))
+            x, k, res = fn(
+                xop.idx_src, xop.val_src, xop.idx2, xop.idx3,
+                op.vals_rem, op.cols_rem,
+                op.tail_vals, op.tail_rows, op.tail_cols,
+                op.diag, op.inv_diag, b_local, x0,
+                jnp.asarray(threshold, op.dtype),
+                jnp.int32(options.max_iterations),
+                jnp.int32(options.check_every),
+            )
+        else:
+            key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat), "neumann")
+            fn = _EXPLICIT_CACHE.get(key)
+            if fn is None:
+                fn = _EXPLICIT_CACHE.put(key, _explicit_neumann_factory(mesh))
+            x, k, res = fn(
+                op.vals_loc, op.cols_loc, op.vals_rem, op.cols_rem,
+                op.tail_vals, op.tail_rows, op.tail_cols,
+                op.diag, op.inv_diag, b_local, x0,
+                jnp.asarray(threshold, op.dtype), jnp.int32(options.max_iterations),
+                jnp.int32(options.check_every),
+            )
         jax.block_until_ready(x)
     result = base.finalize(
         matrix, x, k, res, "neumann-sharded", options, t.ms,

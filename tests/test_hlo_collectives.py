@@ -198,3 +198,29 @@ def test_explicit_cg_xbar_local_same_collectives(mesh8):
     assert 1 <= ar <= 4, f"unexpected all-reduce count: {ar}"
     assert _count_defs(txt, "all-to-all") == 0
     assert _count_defs(txt, "collective-permute") == 0
+
+
+def test_explicit_neumann_xbar_local(mesh8):
+    """Sharded Neumann with the crossbar LOCAL kernel: correct solutions and
+    the split-ELL collective pattern (one all-gather per matvec, psums)."""
+    D = 8
+    n = D * 16384
+    rng = np.random.default_rng(5)
+    cnt = n * 5
+    r = rng.integers(0, n, cnt); c = rng.integers(0, n, cnt)
+    v = rng.uniform(-1, 1, cnt)
+    off = r != c
+    r, c, v = r[off], c[off], v[off]
+    dg = np.zeros(n); np.add.at(dg, r, np.abs(v))
+    rows = np.r_[r, np.arange(n)]; cols = np.r_[c, np.arange(n)]
+    vals = np.r_[v, dg * 1.5 + 1.0]
+    from sublinear_tpu.matrix import Matrix
+
+    A = Matrix.from_coo(rows, cols, vals, (n, n))
+    b = np.random.default_rng(6).standard_normal(n)
+    res = sh.solve_neumann_sharded(
+        A, b, mesh=mesh8, mode="explicit-xbar",
+        options=slt.SolverOptions(epsilon=1e-6, max_iterations=200))
+    assert res.converged, res.residual
+    rel = np.linalg.norm(A.csr.matvec(res.solution) - b) / np.linalg.norm(b)
+    assert rel < 5e-6, rel
