@@ -160,8 +160,12 @@ def bench_chain_neumann(A, b, r_short, r_long, iters, op=None):
     short, long_ = make_chain(r_short), make_chain(r_long)
     o1 = short(b_pad, 1.0); sync_scalar(o1[0])
     o2 = long_(b_pad, 1.0); sync_scalar(o2[0])
+    # 6 repetitions of each: tunnel RPC spikes are multi-ms and one-sided,
+    # so a 4-rep min() occasionally leaves the SHORT chain inflated and the
+    # slope off by spike/(r_long-r_short) (round-5: a 0.49 ms reading for a
+    # device-traced 0.71 ms solve); more reps + a wide spread bound the error
     t_s, t_l = [], []
-    for rep in range(4):
+    for rep in range(6):
         t0 = time.perf_counter(); sync_scalar(short(b_pad, 1.0 + 0.1 * rep)[0]); t_s.append(time.perf_counter() - t0)
         t0 = time.perf_counter(); o2 = long_(b_pad, 1.0 + 0.1 * rep); sync_scalar(o2[0]); t_l.append(time.perf_counter() - t0)
     per_ms = max(min(t_l) - min(t_s), 1e-9) / (r_long - r_short) * 1e3
@@ -217,7 +221,7 @@ def bench_functional(A, b, t, iters=12):
             return qf + jnp.sum(ress) * 0.0, jnp.max(ress)
         return chain
 
-    r_short, r_long = (16, 80) if len(b) <= 20000 else (4, 20)
+    r_short, r_long = (16, 80) if len(b) <= 20000 else (4, 40)
     short, long_ = make_chain(r_short), make_chain(r_long)
     sync_scalar(short(b_pad, t_pad, 1.0)[0])
     o2 = long_(b_pad, t_pad, 1.0); sync_scalar(o2[0])
@@ -428,7 +432,7 @@ def main():
         elif n <= 20000:
             per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=8, r_long=40, iters=12)
         else:
-            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=4, r_long=20, iters=12)
+            per_ms, ok, max_res = bench_chain_neumann(A, b, r_short=4, r_long=40, iters=12)
         if not ok:
             per_ms = float("inf")
         ladder_out.append({
