@@ -379,3 +379,58 @@ def test_chain_residual_norm_mode():
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), rtol=0, atol=0)
     np.testing.assert_allclose(float(res2),
                                float(jnp.sum(rvec * rvec)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("case", [
+    ("random", 300, 4), ("random", 1100, 7), ("random", 3000, 11),
+    ("banded", 900, 3), ("stencil2d", 1024, 0), ("hubcol", 700, 5),
+])
+def test_pack_fuzz_matches_oracle(case):
+    """Property sweep: pack_xbar over structurally diverse matrices must
+    either return None (caller falls back) or produce an operator whose
+    matvec matches the dense oracle — never a silently wrong product.
+    Covers the round-5 geometry changes (aggressive-P ladder, max-class
+    capacity) across random/banded/stencil/hub patterns."""
+    kind, n, deg = case
+    rng = np.random.default_rng(n + deg)
+    if kind == "random":
+        rows, cols, vals = _dd_matrix(n, deg=deg, seed=n)
+    elif kind == "banded":
+        rows, cols, vals = [], [], []
+        for off in (1, 2, 3):
+            idx = np.arange(n - off)
+            w = rng.uniform(-1, 1, n - off)
+            rows += [idx, idx + off]; cols += [idx + off, idx]; vals += [w, w]
+        rows = np.concatenate(rows); cols = np.concatenate(cols)
+        vals = np.concatenate(vals)
+        dg = np.zeros(n); np.add.at(dg, rows, np.abs(vals))
+        rows = np.r_[rows, np.arange(n)]; cols = np.r_[cols, np.arange(n)]
+        vals = np.r_[vals, dg * 1.4 + 1.0]
+    elif kind == "stencil2d":
+        side = int(np.sqrt(n)); n = side * side
+        idx = np.arange(n).reshape(side, side)
+        rows, cols, vals = [], [], []
+        for dr, dc in ((0, 1), (1, 0)):
+            a = idx[:side - dr, :side - dc].ravel()
+            b_ = idx[dr:, dc:].ravel()
+            rows += [a, b_]; cols += [b_, a]
+            vals += [np.full(len(a), -1.0)] * 2
+        rows = np.concatenate(rows + [np.arange(n)])
+        cols = np.concatenate(cols + [np.arange(n)])
+        vals = np.concatenate(vals + [np.full(n, 4.0)])
+    else:  # hubcol: one column with n entries + random background
+        rows, cols, vals = _dd_matrix(n, deg=deg, seed=n)
+        hub = np.arange(n)
+        rows = np.r_[rows, hub]; cols = np.r_[cols, np.zeros(n, np.int64)]
+        vals = np.r_[vals, np.full(n, 0.01)]
+    op = pack_xbar(np.asarray(rows), np.asarray(cols), np.asarray(vals),
+                   (n, n))
+    if op is None:
+        return  # legitimate fallback; the Matrix layer would use ELL/DIA
+    x = np.random.default_rng(1).standard_normal(n)
+    x_pad = np.zeros(op.m_pad); x_pad[:n] = x
+    y = np.asarray(jax.jit(op.matvec)(jnp.asarray(x_pad, jnp.float32)))[:n]
+    y_ref = _dense_of(np.asarray(rows), np.asarray(cols), np.asarray(vals),
+                      (n, n)) @ x
+    scale = max(1.0, np.abs(y_ref).max())
+    np.testing.assert_allclose(y, y_ref, rtol=3e-5, atol=3e-5 * scale)
